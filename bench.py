@@ -1,0 +1,81 @@
+"""Benchmark: the README reference workload (poisson-saturne, 1e9 iterations,
+1920x1080, brightness -0.25 — reference README.md:72-73) end-to-end on one
+chip.
+
+Prints ONE JSON line:
+  {"metric": "map iterations/sec/chip", "value": N, "unit": "iters/s",
+   "vs_baseline": N / 5e8}
+
+vs_baseline is measured against the BASELINE.md north-star rate of 5e8
+iterations/sec (1e9-iteration frame in < 2 s on one TPU chip); > 1.0 beats
+the target. The reference publishes no absolute numbers (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the north star: 1e9-iteration frame in under 2 s on one chip
+BASELINE_ITERS_PER_SEC = 5e8
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    from strange_attractor_tpu import colorize, presets, render
+    from strange_attractor_tpu.config import BrightnessConstants, Colors
+    from strange_attractor_tpu.render import plan_schedule
+
+    iterations = int(float(os.environ.get("BENCH_ITERS", "1e9")))
+    cfg = presets.poisson_saturne(
+        iterations=iterations,
+        width=1920,
+        height=1080,
+        colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
+        seed=0,
+        silent=True,
+    )
+    lanes, chunk_steps, nchunks = plan_schedule(cfg)
+    executed = lanes * chunk_steps * nchunks
+
+    # compile warm-up: run a short config that uses the same kernels
+    warm_iters = lanes * chunk_steps * min(nchunks, 33)
+    warm_cfg = cfg.replace(iterations=warm_iters)
+    state = render(warm_cfg, key=jax.random.PRNGKey(1))
+    img = colorize(cfg, state)
+    np.asarray(jax.device_get(img))
+
+    # timed: fresh state -> render -> colorize -> host fetch
+    t0 = time.perf_counter()
+    state = render(cfg, key=jax.random.PRNGKey(0))
+    img = colorize(cfg, state)
+    img_host = np.asarray(jax.device_get(img))
+    wall = time.perf_counter() - t0
+
+    assert img_host.shape == (1080, 1920, 4)
+    assert int(np.asarray(jax.device_get(state.count)).sum()) > 0
+
+    rate = executed / wall
+    print(
+        json.dumps(
+            {
+                "metric": "map iterations/sec/chip",
+                "value": round(rate, 1),
+                "unit": "iters/s",
+                "vs_baseline": round(rate / BASELINE_ITERS_PER_SEC, 4),
+                "wall_s": round(wall, 3),
+                "iterations": executed,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

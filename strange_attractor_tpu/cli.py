@@ -1,0 +1,239 @@
+"""Command-line interface mirroring the reference binary's flag surface
+(src/bin/main.rs:178-408) plus TPU-specific tuning flags.
+
+Deviations from the reference (all documented SURVEY.md §7 fixes):
+
+- ``--single-thread`` is long-only: the reference accidentally declared
+  ``-s`` for both ``--scale`` and ``--single-thread`` (main.rs:237/286).
+  Here ``--single-device`` replaces it (thread pools don't exist on TPU);
+  ``--single-thread`` is kept as an alias.
+- ``-a/--angle`` degrees are converted to radians for single frames too; the
+  reference's single-frame path passed degrees through unconverted
+  (main.rs:169-171, 475-478).
+- ``-h`` selects ``--height`` like the reference (help is ``--help`` only,
+  main.rs:186-187).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from .config import BrightnessConstants, Colors, RenderKind
+from .models import presets
+from .utils.sequencing import frame_sequence
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="strange-attractor-renderer-tpu",
+        description="TPU-native strange-attractor renderer.",
+        add_help=False,
+    )
+    p.add_argument("--help", action="help", help="Print help")
+    p.add_argument("--depth", action="store_true", help="output depth information")
+    p.add_argument("-8", "--8-bit", dest="eight_bit", action="store_true",
+                   help="Write image in an 8-bit format")
+    p.add_argument("-t", "--transparent", action="store_true",
+                   help="Add transparency to the image")
+    p.add_argument("-i", "--iterations", type=int, default=10_000_000,
+                   help="Number of iterations")
+    p.add_argument("-w", "--width", type=int, default=1920, help="Width of image")
+    p.add_argument("-h", "--height", type=int, default=1080, help="Height of image")
+    p.add_argument("-s", "--scale", type=float, default=1.0, help="Image zoom")
+    p.add_argument("-p", "--preset", choices=list(presets.PRESET_NAMES),
+                   default="poisson-saturne", help="Which built-in attractor to render")
+    p.add_argument("--pam", "--pnm", "--pbm", dest="pam", action="store_true",
+                   help="Use PAM format, a bitmap-like format. 16-bit images are not supported.")
+    p.add_argument("--bmp", "--bitmap", dest="bmp", action="store_true",
+                   help="Use BMP format. 16-bit images are not supported.")
+    p.add_argument("-o", "--file-name", dest="name", default="attractor",
+                   help="Write to file name")
+    p.add_argument("--single-device", "--single-thread", dest="single_device",
+                   action="store_true", help="Run on a single device")
+    p.add_argument("-q", "--silent", action="store_true", help="Decrease verbosity")
+    p.add_argument("-j", "--jobs-per-thread", dest="jobs_per_thread", type=int, default=12,
+                   help="Compatibility knob from the reference CLI: scales how many "
+                        "scan chunks each dispatch covers. Rarely needed on TPU.")
+    p.add_argument("-a", "--angle", type=float, default=0.0,
+                   help="Angle to view attractor from (degrees)")
+    p.add_argument("-b", "--brightness-offset", dest="brightness_offset", type=float,
+                   default=-0.15,
+                   help="Offset the brightness. You generally want to decrease this if "
+                        "you have > 1e8 iterations.")
+    # TPU tuning (no reference counterpart)
+    p.add_argument("--lanes", type=int, default=None,
+                   help="Parallel trajectory lanes (default: auto from iterations)")
+    p.add_argument("--chunk-steps", type=int, default=None,
+                   help="Map steps per binning flush (default: auto)")
+    p.add_argument("--bin-strategy", choices=["auto", "exact", "packed"], default="auto",
+                   help="Canvas accumulation strategy (see docs)")
+    p.add_argument("--seed", type=int, default=None, help="Deterministic RNG seed")
+    p.add_argument("--save-state", default=None, metavar="PATH",
+                   help="Checkpoint the accumulator state to PATH (.npz) after rendering")
+    p.add_argument("--load-state", default=None, metavar="PATH",
+                   help="Resume accumulation from a checkpointed state (.npz)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Write a jax.profiler trace to DIR")
+
+    sub = p.add_subparsers(dest="subcommand")
+    seq = sub.add_parser(
+        "sequence",
+        help="Render a sequence of frames rotating around the attractor.",
+        description="Render a sequence of frames rotating around the attractor.\n"
+        "All the arguments passed before this subcommand are used when creating the images.",
+        add_help=False,
+    )
+    seq.add_argument("--help", action="help", help="Print help")
+    seq.add_argument("-s", "--start", type=float, default=0.0,
+                     help="The angle to start the animation from (degrees)")
+    seq.add_argument("-e", "--end", type=float, default=360.0,
+                     help="The angle to end the animation at (degrees)")
+    seq.add_argument("-d", "--step", type=float, default=0.5,
+                     help="Amount to change the angle for each frame (degrees)")
+
+    comp = sub.add_parser("completion", help="Generate a shell completion script",
+                          add_help=False)
+    comp.add_argument("--help", action="help", help="Print help")
+    comp.add_argument("--shell", choices=["bash", "zsh", "fish"], default="bash")
+    comp.add_argument("--print", dest="print_only", action="store_true", default=True,
+                      help="Print the script to stdout (default)")
+    # the "-8" short flag makes argparse refuse bare negative values like
+    # ``-b -0.25`` (the reference sets allow_hyphen_values, main.rs:314/324);
+    # "-8" itself still wins by exact option match.
+    p._has_negative_number_optionals.clear()  # noqa: SLF001
+    seq._has_negative_number_optionals.clear()  # noqa: SLF001
+    return p
+
+
+def _validate(args, parser):
+    if (args.pam or args.bmp) and not args.eight_bit:
+        parser.error("--pam/--bmp require --8-bit (16-bit images are not supported)")
+    if args.pam and args.bmp:
+        parser.error("--pam conflicts with --bmp")
+    if args.subcommand == "sequence" and args.end <= args.start:
+        parser.error("sequence end must be after start")
+        # matches the reference's InvalidValue error (main.rs:375-378)
+    if args.subcommand == "sequence" and args.step <= 0:
+        parser.error("step must be a positive")
+
+
+def config_from_args(args):
+    """Build a Config from CLI flags over the preset (main.rs:417-442)."""
+    from .config import BinStrategy
+
+    config = presets.by_name(args.preset)
+    config = config.replace(
+        iterations=args.iterations,
+        width=args.width,
+        height=args.height,
+        transparent=args.transparent,
+        silent=args.silent,
+        colors=Colors(brightness=BrightnessConstants(offset=args.brightness_offset)),
+        render=RenderKind.DEPTH if args.depth else RenderKind.GAS,
+        angle=float(np.radians(args.angle)),
+        lanes=args.lanes,
+        chunk_steps=args.chunk_steps,
+        bin_strategy=BinStrategy(args.bin_strategy),
+        seed=args.seed,
+    )
+    config = config.replace(view=config.view.replace(scale=args.scale))
+    return config
+
+
+def _output_base(args) -> Path:
+    """Output path stem handling (main.rs:445-457)."""
+    path = Path(args.name)
+    return path.parent / path.stem if path.stem else path.parent / "attractor"
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _validate(args, parser)
+
+    if args.subcommand == "completion":
+        from .utils.completion import completion_script
+
+        sys.stdout.write(completion_script(args.shell, parser))
+        return 0
+
+    import importlib
+
+    render_mod = importlib.import_module(".render", __package__)
+    from .runtime import RenderState, load_state, save_state
+    from .utils.export import write_image
+
+    config = config_from_args(args)
+    fmt = "pam" if args.pam else "bmp" if args.bmp else "png"
+    base = _output_base(args)
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
+    encoders: list[threading.Thread] = []
+
+    def write_async(image, path_base):
+        """Overlap host-side encode with the next frame's device render
+        (reference spawns an encoder thread per frame, main.rs:507-511)."""
+        t = threading.Thread(
+            target=write_image,
+            args=(path_base, image),
+            kwargs=dict(fmt=fmt, transparent=args.transparent,
+                        eight_bit=args.eight_bit, silent=config.silent),
+        )
+        t.start()
+        encoders.append(t)
+
+    try:
+        if args.subcommand == "sequence":
+            for angle_deg, out_path in frame_sequence(args.start, args.end, args.step, base):
+                image = _render_one(args, config, render_mod, angle_rad=float(np.radians(angle_deg)))
+                write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
+        else:
+            state = load_state(args.load_state) if args.load_state else None
+            image, state = _render_stateful(args, config, render_mod, state)
+            if args.save_state:
+                save_state(args.save_state, state)
+                if not config.silent:
+                    print(f"Saved render state to '{args.save_state}'.")
+            write_async(image, base)
+    finally:
+        for t in encoders:
+            t.join()
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+    return 0
+
+
+def _render_one(args, config, render_mod, angle_rad):
+    import jax
+
+    if args.single_device or len(jax.devices()) <= 1:
+        return render_mod.render_frame(config, angle=angle_rad)
+    return render_mod.render_parallel(config.replace(angle=angle_rad))
+
+
+def _render_stateful(args, config, render_mod, state):
+    import jax
+
+    if state is None and not args.single_device and len(jax.devices()) > 1:
+        from .parallel.mesh import render_sharded
+
+        state = render_sharded(config, key=None)
+    else:
+        state = render_mod.render(config, state)
+    image = np.asarray(jax.device_get(render_mod.colorize(config, state)))
+    return image, state
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,242 @@
+"""Render configuration: palette, colors, view, and the main Config.
+
+Mirrors the reference's ``config`` module (src/lib.rs:228-560) as frozen
+dataclasses that double as jit-cache keys (via :meth:`Config.fingerprint`).
+Numeric defaults match the reference exactly (src/lib.rs:288-308, 397-404,
+483-487).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import hashlib
+from typing import Any, Callable, Optional, Sequence
+
+import numpy as np
+
+from .ops.projection import EulerAxisRotation
+
+
+class RenderKind(enum.Enum):
+    """How to render the internal data (reference: src/lib.rs:234-239)."""
+
+    GAS = "gas"
+    DEPTH = "depth"
+
+
+@dataclasses.dataclass(frozen=True)
+class View:
+    """Camera placement (reference: src/lib.rs:253-261)."""
+
+    center_camera: tuple[float, float, float]
+    rotation: EulerAxisRotation
+    scale: float = 1.0
+
+    def replace(self, **kw) -> "View":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class BrightnessConstants:
+    """Tone-map constants: ``(c + offset) * factor`` (src/lib.rs:389-404).
+
+    The reference misspells this ``BrighnessConstants``; fixed here
+    (SURVEY.md quirk list). Defaults: offset -0.15, factor 5/3.
+    """
+
+    offset: float = -0.15
+    factor: float = 5.0 / 3.0
+
+
+class Palette:
+    """A list of RGB stops interpolated over [0, 1) (src/lib.rs:406-473).
+
+    ``interpolate`` semantics replicated exactly: the input is clamped to
+    [0, 0.999999], scaled by the stop count, linearly interpolated between
+    neighboring stops, then **square-rooted per channel** (src/lib.rs:442-472).
+    The reference appends a duplicate of the last stop so the unchecked
+    ``n + 1`` read stays in bounds (src/lib.rs:416-424); we keep the same
+    (K+1, 3) layout so gather indices never need clamping.
+    """
+
+    def __init__(self, colors: Sequence[Sequence[float]]):
+        colors = np.asarray(colors, dtype=np.float64)
+        if colors.ndim != 2 or colors.shape[1] != 3 or colors.shape[0] == 0:
+            raise ValueError("palette needs a non-empty (K, 3) list of RGB stops")
+        self._stops = np.concatenate([colors, colors[-1:]], axis=0)  # (K+1, 3)
+
+    @classmethod
+    def from_rgb(cls, r: Sequence[float], g: Sequence[float], b: Sequence[float]) -> "Palette":
+        """Construct from per-channel stop lists (src/lib.rs:425-431)."""
+        if not (len(r) == len(g) == len(b)):
+            raise ValueError("r, g, b must have equal length")
+        return cls(np.stack([r, g, b], axis=1))
+
+    @property
+    def count(self) -> int:
+        """Number of colors (src/lib.rs:435-437)."""
+        return self._stops.shape[0] - 1
+
+    @property
+    def stops(self) -> np.ndarray:
+        """(K+1, 3) float64 stop table, last stop duplicated."""
+        return self._stops
+
+    def interpolate_numpy(self, value: np.ndarray) -> np.ndarray:
+        """Numpy twin of the device interpolation, for the oracle/tests."""
+        value = np.clip(np.asarray(value, np.float64), 0.0, 0.999999)
+        value = value * self.count
+        n = np.floor(value).astype(np.int64)
+        frac = value % 1.0
+        lo = self._stops[n]
+        hi = self._stops[n + 1]
+        return np.sqrt(hi * frac[..., None] + lo * (1.0 - frac[..., None]))
+
+    def fingerprint(self) -> bytes:
+        return b"palette:" + self._stops.tobytes()
+
+    def __eq__(self, other):
+        return isinstance(other, Palette) and np.array_equal(self._stops, other._stops)
+
+    def __repr__(self):
+        return f"Palette({self._stops[:-1].tolist()!r})"
+
+
+def default_palette() -> Palette:
+    """The reference's default 6-stop palette (src/lib.rs:483-487)."""
+    return Palette.from_rgb(
+        [1.0, 0.5, 1.0, 0.5, 0.5, 1.0],
+        [1.0, 1.0, 0.5, 1.0, 0.5, 0.5],
+        [0.5, 0.5, 0.5, 1.0, 1.0, 1.0],
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class Colors:
+    """Palette + brightness (reference: src/lib.rs:474-492)."""
+
+    palette: Palette = dataclasses.field(default_factory=default_palette)
+    brightness: BrightnessConstants = dataclasses.field(default_factory=BrightnessConstants)
+
+
+class BinStrategy(enum.Enum):
+    """How points are accumulated into the canvas (TPU-side design choice).
+
+    - EXACT:  three planes (count u32, steps f32, zbuf f32); z-test winner via
+      scatter-max + gather, bit-faithful to the reference semantics
+      (src/lib.rs:807-834). Slowest on TPU; the oracle-matching mode.
+    - PACKED: two planes (count u32, packed u32). The (zbuf, steps) pair is
+      packed into one uint32 — 20 high bits of an order-preserving map of the
+      f32 depth, 12 low bits of the quantized palette position — so the whole
+      z-test becomes a single scatter-max. Depth resolution ~2^-11 relative,
+      palette resolution 1/4096: visually lossless, half the scatter cost.
+    - AUTO:   PACKED on TPU, EXACT elsewhere.
+    """
+
+    EXACT = "exact"
+    PACKED = "packed"
+    AUTO = "auto"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All render parameters (reference: src/lib.rs:263-308).
+
+    Defaults match ``Config::new`` (src/lib.rs:288-308): 10^7 iterations,
+    1920x1080, gas render, transparent, angle 0, silent.
+
+    TPU-specific tuning knobs (no reference counterpart):
+
+    - ``lanes``: number of independent trajectories advanced in parallel
+      (the vmapped batch). ``None`` = auto from ``iterations``. This replaces
+      the reference's thread count x jobs-per-thread work splitting
+      (src/lib.rs:1058).
+    - ``chunk_steps``: scan steps per binning flush; bounds the on-device
+      point buffer.
+    - ``warmup``: discarded iterations to settle onto the attractor
+      (reference hardcodes 1000, src/lib.rs:749-752).
+    - ``bin_strategy``: see :class:`BinStrategy`.
+    - ``dtype``: compute dtype ("float32" default; "float64" needs
+      jax_enable_x64 and is slow on TPU).
+    - ``seed``: RNG seed for the initial points; ``None`` = nondeterministic
+      (like the reference's OS-seeded SmallRng, src/lib.rs:656).
+    """
+
+    attractor: Any
+    view: View
+    color_transform: Callable
+    iterations: int = 10_000_000
+    width: int = 1920
+    height: int = 1080
+    render: RenderKind = RenderKind.GAS
+    transparent: bool = True
+    angle: float = 0.0
+    silent: bool = True
+    colors: Colors = dataclasses.field(default_factory=Colors)
+
+    # TPU tuning
+    lanes: Optional[int] = None
+    chunk_steps: Optional[int] = None
+    warmup: int = 1000
+    bin_strategy: BinStrategy = BinStrategy.AUTO
+    dtype: str = "float32"
+    seed: Optional[int] = None
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ---- derived tuning -------------------------------------------------
+    def resolved_lanes(self) -> int:
+        """Lane count: keep per-lane trajectories long enough that the
+        1000-step warm-up stays amortized (reference granularity argument:
+        src/lib.rs:1058 gives ~1e6-1e7 steps per work unit)."""
+        if self.lanes is not None:
+            return max(1, int(self.lanes))
+        # target >= ~32k steps/lane => warmup overhead ~3%
+        lanes = max(256, min(8192, self.iterations // 32_768))
+        # round down to a multiple of 256 for clean VPU shapes
+        return max(256, (lanes // 256) * 256)
+
+    def resolved_chunk_steps(self) -> int:
+        if self.chunk_steps is not None:
+            return max(1, int(self.chunk_steps))
+        lanes = self.resolved_lanes()
+        # cap the emitted per-chunk point buffer at ~4M points
+        return max(1, min(512, (4 << 20) // lanes))
+
+    def resolved_bin_strategy(self, platform: str) -> BinStrategy:
+        if self.bin_strategy != BinStrategy.AUTO:
+            return self.bin_strategy
+        return BinStrategy.PACKED if platform == "tpu" else BinStrategy.EXACT
+
+    # ---- jit cache key ---------------------------------------------------
+    def fingerprint(self) -> bytes:
+        """Stable digest of everything that affects compiled render output."""
+        h = hashlib.sha256()
+        h.update(self.attractor.fingerprint())
+        tf = getattr(self.color_transform, "fingerprint", None)
+        h.update(tf() if tf else repr(self.color_transform).encode())
+        rot = self.view.rotation
+        parts = [
+            self.view.center_camera,
+            rot.axis,
+            rot.rotation,
+            rot.normalize,
+            self.view.scale,
+            self.iterations,
+            self.width,
+            self.height,
+            self.render.value,
+            self.transparent,
+            self.angle,
+            self.lanes,
+            self.chunk_steps,
+            self.warmup,
+            self.bin_strategy.value,
+            self.dtype,
+        ]
+        h.update(repr(parts).encode())
+        h.update(self.colors.palette.fingerprint())
+        h.update(repr((self.colors.brightness.offset, self.colors.brightness.factor)).encode())
+        return h.digest()

@@ -1,0 +1,84 @@
+"""Device-side tone mapping: the reference's ``colorize`` (src/lib.rs:841-904)
+as one fused elementwise pass over the canvas.
+
+Gas mode: palette-interpolate the stored color value, scale brightness by
+``log(count+1) / log(max+1)``, apply the brightness constants, and cast with
+Rust ``as u16`` saturation semantics. Depth mode: reverse-lerp the z-buffer
+between its (sentinel-excluded) min/max into 16-bit grayscale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import Config, RenderKind
+from ..runtime import RenderState
+from .binning import unpack_zv
+
+
+def _saturate_u16(x):
+    """Rust ``<f64> as u16``: NaN -> 0, clamp [0, 65535], truncate."""
+    x = jnp.nan_to_num(x, nan=0.0, posinf=65535.0, neginf=0.0)
+    return jnp.clip(x, 0.0, 65535.0).astype(jnp.uint16)
+
+
+def palette_lookup(stops: np.ndarray, value):
+    """Palette interpolation (src/lib.rs:442-472) vectorized over the canvas.
+
+    ``stops`` is the (K+1, 3) host table (last stop duplicated). With K tiny,
+    the gather is expressed as K selects — pure VPU work, no device gather.
+    Returns (..., 3): lerp between neighboring stops then sqrt per channel.
+    """
+    k = stops.shape[0] - 1
+    v = jnp.clip(value, 0.0, 0.999999) * k
+    n = jnp.floor(v).astype(jnp.int32)  # in [0, k-1]
+    frac = v % 1.0
+
+    lo = [jnp.zeros_like(v) for _ in range(3)]
+    hi = [jnp.zeros_like(v) for _ in range(3)]
+    for idx in range(k):
+        sel = n == idx
+        for c in range(3):
+            lo[c] = jnp.where(sel, jnp.float32(stops[idx][c]), lo[c])
+            hi[c] = jnp.where(sel, jnp.float32(stops[idx + 1][c]), hi[c])
+    out = [jnp.sqrt(h * frac + l * (1.0 - frac)) for l, h in zip(lo, hi)]
+    return jnp.stack(out, axis=-1)
+
+
+def state_planes(state: RenderState):
+    """(count, steps, zbuf) planes regardless of storage strategy."""
+    if state.packed is not None:
+        zbuf, steps = unpack_zv(state.packed)
+        return state.count, steps, zbuf
+    return state.count, state.steps, state.zbuf
+
+
+def colorize_planes(config: Config, count, steps, zbuf):
+    """Tone-map planes to (H, W, 4) uint16 RGBA."""
+    if config.render == RenderKind.GAS:
+        bk = config.colors.brightness
+        rgb = palette_lookup(config.colors.palette.stops, steps)
+        cf = count.astype(jnp.float32)
+        maxc = jnp.max(cf)
+        # log base (max+1) brightness (src/lib.rs:860); NaN when max == 0
+        # mirrors the reference's NaN -> 0 cast for the empty render.
+        factor = jnp.log1p(cf) / jnp.log1p(maxc)
+        channels = (rgb * factor[..., None] + jnp.float32(bk.offset)) * jnp.float32(bk.factor)
+        rgb16 = _saturate_u16(channels * 65535.0)
+        if config.transparent:
+            alpha = _saturate_u16(factor * 65535.0)
+        else:
+            alpha = jnp.full(count.shape, 65535, jnp.uint16)
+        return jnp.concatenate([rgb16, alpha[..., None]], axis=-1)
+
+    # Depth (src/lib.rs:875-899): fold starts (0.0, f32::MAX), -1.0 excluded.
+    valid = zbuf != -1.0
+    zmax = jnp.max(jnp.where(valid, zbuf, jnp.float32(0.0)))
+    zmin = jnp.min(jnp.where(valid, zbuf, jnp.float32(np.finfo(np.float32).max)))
+    diff = zmax - zmin
+    z = jnp.where(valid, (zbuf - zmin) / diff, jnp.float32(0.0))
+    gray = _saturate_u16(z * jnp.float32(65535.0))
+    alpha = jnp.full(zbuf.shape, 65535, jnp.uint16)
+    return jnp.stack([gray, gray, gray, alpha], axis=-1)

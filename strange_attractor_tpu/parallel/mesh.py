@@ -1,0 +1,226 @@
+"""Multi-device rendering over a ``jax.sharding.Mesh``.
+
+The reference scales with a thread pool + channels + a work-stealing atomic
+counter (src/lib.rs:906-1031) and merges per-thread canvases on the main
+thread (src/lib.rs:1068-1076). The TPU equivalents:
+
+- **lanes axis (data parallel)**: trajectory lanes shard across devices via
+  ``shard_map``; every device accumulates a private canvas — the analog of a
+  per-thread ``Runtime`` — entirely on device.
+- **merge = collectives over ICI**: ``psum`` for the visit counts and a
+  max-by-key reduction for the depth/color planes, replacing the reference's
+  O(W*H*threads) sequential merge loop. PACKED states need a single
+  ``pmax``; EXACT states resolve the winning device per pixel with
+  pmax + pmin(tie-break by device index) + psum.
+- **frames axis**: animation frames are embarrassingly parallel
+  (src/bin/main.rs:496-512 renders them serially); a second mesh axis shards
+  the angle batch.
+
+Work stealing is unnecessary: lanes are statically balanced because every
+lane runs the identical instruction stream (SPMD), unlike CPU threads with
+variable scheduling.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+if hasattr(jax, "shard_map"):  # jax >= 0.4.35
+    shard_map = jax.shard_map
+else:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..config import BinStrategy, Config
+from ..runtime import RenderState
+
+
+def lanes_mesh(devices=None) -> Mesh:
+    """1D mesh over all (or the given) devices: axis ``lanes``."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), ("lanes",))
+
+
+def merge_collective(planes: tuple, strategy: BinStrategy, axis: str) -> tuple:
+    """Merge per-device canvases along ``axis`` (semantics of
+    ``Runtime::merge``, src/lib.rs:708-738, as collectives)."""
+    if strategy == BinStrategy.PACKED:
+        count, packed = planes
+        return lax.psum(count, axis), lax.pmax(packed, axis)
+    count, steps, zbuf = planes
+    count = lax.psum(count, axis)
+    zmax = lax.pmax(zbuf, axis)
+    nproc = lax.axis_size(axis)
+    me = lax.axis_index(axis)
+    winner = (zbuf == zmax) & (zbuf > -1.0)
+    # deterministic tie-break: lowest device index wins (the reference's fold
+    # order makes the first thread win ties, src/lib.rs:726-735)
+    widx = lax.pmin(jnp.where(winner, me, nproc), axis)
+    steps = lax.psum(jnp.where(winner & (me == widx), steps, 0.0), axis)
+    return count, steps, zmax
+
+
+def _local_render_fn(config: Config, strategy: BinStrategy, lanes: int, nchunks: int, axis: str):
+    """Build the per-device render body (runs inside ``shard_map``)."""
+    from ..render import _step_fn, plan_schedule
+    from ..ops import binning
+    from ..ops.projection import camera_params
+
+    _, chunk_steps, _ = plan_schedule(config)
+    cam = camera_params(config.view, 0.0, config.width, config.height)
+    dt = jnp.dtype(config.dtype)
+    step = _step_fn(config, cam, strategy)
+    npix = config.width * config.height
+
+    def body(key, cos_v, sin_v):
+        key = jax.random.fold_in(key, lax.axis_index(axis))
+        p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
+        cur = lax.fori_loop(0, config.warmup, lambda i, p: config.attractor.step(p), p0)
+        prev = cur
+
+        count = jnp.zeros((npix,), jnp.uint32)
+        if strategy == BinStrategy.PACKED:
+            acc = (count, jnp.zeros((npix,), jnp.uint32))
+        else:
+            acc = (count, jnp.zeros((npix,), jnp.float32), jnp.full((npix,), -1.0, jnp.float32))
+
+        def chunk(carry, _):
+            planes, cur, prev = carry
+            (cur, prev, _, _), emitted = lax.scan(
+                step, (cur, prev, cos_v, sin_v), None, length=chunk_steps
+            )
+            flat = emitted[0].reshape(-1)
+            if strategy == BinStrategy.PACKED:
+                planes = binning.bin_chunk_packed(planes[0], planes[1], flat, emitted[1].reshape(-1))
+            else:
+                planes = binning.bin_chunk_exact(
+                    planes[0], planes[1], planes[2], flat,
+                    emitted[1].reshape(-1), emitted[2].reshape(-1),
+                )
+            return (planes, cur, prev), None
+
+        (acc, _, _), _ = lax.scan(chunk, (acc, cur, prev), None, length=nchunks)
+        return merge_collective(acc, strategy, axis)
+
+    return body
+
+
+def render_sharded(config: Config, devices=None, key=None) -> RenderState:
+    """Render with trajectory lanes sharded over every device; returns the
+    merged (replicated) state. TPU analog of ``render_parallel``
+    (src/lib.rs:1051-1082)."""
+    from ..render import plan_schedule, seed_key
+
+    mesh = lanes_mesh(devices)
+    ndev = mesh.devices.size
+    strategy = config.resolved_bin_strategy(jax.default_backend())
+
+    lanes_total, chunk_steps, nchunks = plan_schedule(config)
+    lanes_local = max(1, lanes_total // ndev)
+    body = _local_render_fn(config, strategy, lanes_local, nchunks, "lanes")
+
+    key = seed_key(config, key)
+    dt = jnp.dtype(config.dtype)
+    cos_v = jnp.asarray(np.cos(config.angle), dt)
+    sin_v = jnp.asarray(np.sin(config.angle), dt)
+
+    fn = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    planes = fn(key, cos_v, sin_v)
+    shape = (config.height, config.width)
+    if strategy == BinStrategy.PACKED:
+        return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
+    return RenderState(
+        count=planes[0].reshape(shape),
+        steps=planes[1].reshape(shape),
+        zbuf=planes[2].reshape(shape),
+    )
+
+
+def render_sequence_sharded(
+    config: Config,
+    angles_deg: Sequence[float],
+    devices=None,
+    key=None,
+    frame_axis: int = 0,
+):
+    """Shard an animation over a 2D (frames, lanes) mesh.
+
+    Each ``frames`` row of devices renders a contiguous slice of the angle
+    batch while its lanes split across the ``lanes`` columns — the two forms
+    of parallelism the workload actually has (SURVEY.md §2). Returns a host
+    array of colorized frames, ordered like ``angles_deg``.
+
+    The angle count is padded up to a multiple of the frames axis; padded
+    frames are rendered (identical cost, SPMD) and dropped on the host.
+    """
+    from ..render import plan_schedule, seed_key, colorize
+    from ..ops.colorize import colorize_planes, state_planes
+
+    devices = list(devices) if devices is not None else jax.devices()
+    ndev = len(devices)
+    if frame_axis <= 0:
+        frame_axis = max(1, min(len(angles_deg), ndev))
+    while ndev % frame_axis:
+        frame_axis -= 1
+    lane_axis = ndev // frame_axis
+    mesh = Mesh(np.array(devices).reshape(frame_axis, lane_axis), ("frames", "lanes"))
+
+    strategy = config.resolved_bin_strategy(jax.default_backend())
+    lanes_total, chunk_steps, nchunks = plan_schedule(config)
+    lanes_local = max(1, lanes_total // lane_axis)
+    body = _local_render_fn(config, strategy, lanes_local, nchunks, "lanes")
+
+    nang = len(angles_deg)
+    pad = (-nang) % frame_axis
+    angles = np.concatenate([np.asarray(angles_deg, np.float64), np.zeros(pad)])
+    rad = np.radians(angles)
+    dt = jnp.dtype(config.dtype)
+    cos_all = jnp.asarray(np.cos(rad), dt)
+    sin_all = jnp.asarray(np.sin(rad), dt)
+
+    def frames_body(key, cos_f, sin_f):
+        key = jax.random.fold_in(key, lax.axis_index("frames"))
+
+        def one(cs):
+            planes = body(key, cs[0], cs[1])
+            return colorize_planes(config, *state_planes(RenderState(*_as_state(planes))))
+
+        def _as_state(planes):
+            if strategy == BinStrategy.PACKED:
+                shape = (config.height, config.width)
+                return (planes[0].reshape(shape), None, None, planes[1].reshape(shape))
+            shape = (config.height, config.width)
+            return (
+                planes[0].reshape(shape),
+                planes[1].reshape(shape),
+                planes[2].reshape(shape),
+                None,
+            )
+
+        return jax.vmap(one)(jnp.stack([cos_f, sin_f], axis=1))
+
+    fn = jax.jit(
+        shard_map(
+            frames_body,
+            mesh=mesh,
+            in_specs=(P(), P("frames"), P("frames")),
+            out_specs=P("frames"),
+            check_vma=False,
+        )
+    )
+    frames = fn(seed_key(config, key), cos_all, sin_all)
+    return np.asarray(jax.device_get(frames))[:nang]

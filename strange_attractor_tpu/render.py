@@ -1,0 +1,303 @@
+"""The render engine: map iteration, binning, colorize, and the parallel /
+sequence drivers.
+
+TPU architecture (contrast with the reference's thread pool, src/lib.rs:906-1082):
+
+- ``lanes`` independent trajectories advance together as one vectorized VPU
+  step; a ``lax.scan`` walks ``chunk_steps`` map iterations emitting a point
+  chunk; the chunk is binned device-side; an outer scan walks chunks. One
+  ``jit`` = one fused device program per batch of chunks.
+- Work splitting ("jobs per thread", src/lib.rs:1058) is replaced by the
+  lanes x steps grid; merging partial canvases (src/lib.rs:1068-1076) is only
+  needed across devices, where it is a collective (see ``parallel.mesh``).
+- Warm-up (1000 discarded iterations, src/lib.rs:749-752) runs once per lane.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import BinStrategy, Config, RenderKind
+from .ops import binning
+from .ops.colorize import colorize_planes, state_planes
+from .ops.projection import camera_params, project, rotate_point
+from .runtime import RenderState
+
+_KERNEL_CACHE: dict = {}
+
+
+def _dtype(config: Config):
+    return jnp.dtype(config.dtype)
+
+
+def seed_key(config: Config, key=None):
+    """Explicit key > config.seed > nondeterministic (reference uses an
+    OS-seeded SmallRng per thread, src/lib.rs:656)."""
+    if key is not None:
+        return key
+    if config.seed is not None:
+        return jax.random.PRNGKey(config.seed)
+    return jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
+
+
+def plan_schedule(config: Config) -> tuple[int, int, int]:
+    """Resolve (lanes, chunk_steps, nchunks) so that
+    lanes * chunk_steps * nchunks ~= iterations.
+
+    Like the reference's integer work split (src/lib.rs:1058), the executed
+    count may differ slightly from the request; set ``lanes``/``chunk_steps``
+    to divisors for exact counts.
+    """
+    lanes = config.resolved_lanes()
+    target_steps = max(1, round(config.iterations / lanes))
+    chunk = min(config.resolved_chunk_steps(), target_steps)
+    nchunks = max(1, round(target_steps / chunk))
+    return lanes, chunk, nchunks
+
+
+def _step_fn(config: Config, cam, strategy: BinStrategy):
+    """One map iteration for the whole lane batch -> emitted point chunk row.
+
+    Body of the innermost scan; replicates src/lib.rs:769-837 (see
+    ops.projection for the quirk-preserving math).
+    """
+    attractor = config.attractor
+    transform = config.color_transform
+    view = config.view
+    W, H = config.width, config.height
+    npix = W * H
+
+    def step(carry, _):
+        cur, prev, cos_v, sin_v = carry
+        new = attractor.step(cur)
+        sx, sy, sz = rotate_point(cam, new, jnp)
+        fi, fj, z2 = project(cam, sx, sy, sz, cos_v, sin_v, jnp)
+        dt = fi.dtype
+        inb = (fi < W) & (fj < H) & (fi >= jnp.asarray(0.0, dt)) & (fj >= jnp.asarray(0.0, dt))
+        flat = jnp.where(
+            inb, fj.astype(jnp.int32) * W + fi.astype(jnp.int32), jnp.int32(npix)
+        )
+        delta = new - prev
+        screen = jnp.stack([sx, sy, sz], axis=-1)
+        val = transform(delta, screen, view)
+        # previous point advances even when out of bounds (src/lib.rs:789-795)
+        if strategy == BinStrategy.PACKED:
+            emitted = (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
+        else:
+            emitted = (flat, z2.astype(jnp.float32), val.astype(jnp.float32))
+        return (new, new, cos_v, sin_v), emitted
+
+    return step
+
+
+def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
+    """Compile (init, run) for a config; cached on the angle-free fingerprint
+    (the camera angle is a traced cos/sin pair so sequences don't recompile)."""
+    key = (config.replace(angle=0.0).fingerprint(), strategy.value, nchunks)
+    hit = _KERNEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    lanes, chunk_steps, _ = plan_schedule(config)
+    cam = camera_params(config.view, 0.0, config.width, config.height)
+    dt = _dtype(config)
+    step = _step_fn(config, cam, strategy)
+    attractor = config.attractor
+
+    @jax.jit
+    def init(key):
+        """Seed U[0,1)^3 * 0.1 then warm up (src/lib.rs:748-752)."""
+        p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
+        warmed = lax.fori_loop(0, config.warmup, lambda i, p: attractor.step(p), p0)
+        return warmed
+
+    if strategy == BinStrategy.PACKED:
+
+        def chunk(carry, _):
+            count, packed, cur, prev, cos_v, sin_v = carry
+            (cur, prev, cos_v, sin_v), (flat, pz) = lax.scan(
+                step, (cur, prev, cos_v, sin_v), None, length=chunk_steps
+            )
+            count, packed = binning.bin_chunk_packed(
+                count, packed, flat.reshape(-1), pz.reshape(-1)
+            )
+            return (count, packed, cur, prev, cos_v, sin_v), None
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run(count, packed, cur, prev, cos_v, sin_v):
+            carry, _ = lax.scan(
+                chunk, (count, packed, cur, prev, cos_v, sin_v), None, length=nchunks
+            )
+            return carry[:4]
+
+    else:
+
+        def chunk(carry, _):
+            count, steps, zbuf, cur, prev, cos_v, sin_v = carry
+            (cur, prev, cos_v, sin_v), (flat, z, val) = lax.scan(
+                step, (cur, prev, cos_v, sin_v), None, length=chunk_steps
+            )
+            count, steps, zbuf = binning.bin_chunk_exact(
+                count, steps, zbuf, flat.reshape(-1), z.reshape(-1), val.reshape(-1)
+            )
+            return (count, steps, zbuf, cur, prev, cos_v, sin_v), None
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def run(count, steps, zbuf, cur, prev, cos_v, sin_v):
+            carry, _ = lax.scan(
+                chunk, (count, steps, zbuf, cur, prev, cos_v, sin_v), None, length=nchunks
+            )
+            return carry[:5]
+
+    _KERNEL_CACHE[key] = (init, run)
+    return init, run
+
+
+def render(
+    config: Config,
+    state: Optional[RenderState] = None,
+    key=None,
+    *,
+    angle: Optional[float] = None,
+) -> RenderState:
+    """Accumulate ``config.iterations`` map iterations into ``state``.
+
+    Like the reference's ``render`` (src/lib.rs:747): call repeatedly on the
+    same state for progressive refinement; each call reseeds its trajectories.
+    ``angle`` (radians) overrides ``config.angle`` without recompiling.
+    """
+    strategy = None if state is None else state.strategy
+    if strategy is None:
+        strategy = config.resolved_bin_strategy(jax.default_backend())
+    if state is None:
+        state = RenderState.create(config, strategy)
+    if config.iterations < 1:
+        return state
+
+    lanes, chunk_steps, nchunks = plan_schedule(config)
+    # split chunks over a few dispatches so long renders report progress
+    inner = min(nchunks, 32)
+    outer_full, rem = divmod(nchunks, inner)
+
+    a = config.angle if angle is None else angle
+    dt = _dtype(config)
+    cos_v = jnp.asarray(np.cos(a), dt)
+    sin_v = jnp.asarray(np.sin(a), dt)
+
+    init, _ = _build_kernels(config, strategy, inner)
+    cur = init(seed_key(config, key))
+    prev = cur
+
+    shape = state.count.shape
+    done = 0
+
+    def dispatch(n, planes, cur, prev):
+        _, run = _build_kernels(config, strategy, n)
+        out = run(*planes, cur, prev, cos_v, sin_v)
+        return out[:-2], out[-2], out[-1]
+
+    if strategy == BinStrategy.PACKED:
+        planes = (state.count.reshape(-1), state.packed.reshape(-1))
+    else:
+        planes = (state.count.reshape(-1), state.steps.reshape(-1), state.zbuf.reshape(-1))
+
+    t0 = time.perf_counter()
+    for _ in range(outer_full):
+        planes, cur, prev = dispatch(inner, planes, cur, prev)
+        done += inner
+        if not config.silent:
+            print(f"Iteration complete, {nchunks - done} left to go.")
+    if rem:
+        planes, cur, prev = dispatch(rem, planes, cur, prev)
+    if not config.silent:
+        executed = lanes * chunk_steps * nchunks
+        dtime = time.perf_counter() - t0
+        print(
+            f"Rendered {executed:.3e} iterations in {dtime:.2f}s "
+            f"({executed / max(dtime, 1e-9):.3e} iters/s)."
+        )
+
+    if strategy == BinStrategy.PACKED:
+        return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
+    return RenderState(
+        count=planes[0].reshape(shape),
+        steps=planes[1].reshape(shape),
+        zbuf=planes[2].reshape(shape),
+    )
+
+
+_COLORIZE_CACHE: dict = {}
+
+
+def colorize(config: Config, state: RenderState):
+    """Tone-map an accumulated state to a (H, W, 4) uint16 RGBA device array
+    (reference: src/lib.rs:841-904)."""
+    key = (
+        config.colors.palette.fingerprint(),
+        config.colors.brightness.offset,
+        config.colors.brightness.factor,
+        config.render.value,
+        config.transparent,
+        state.strategy.value,
+    )
+    fn = _COLORIZE_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(st):
+            return colorize_planes(config, *state_planes(st))
+
+        _COLORIZE_CACHE[key] = fn
+    return fn(state)
+
+
+def render_frame(config: Config, key=None, *, angle: Optional[float] = None) -> np.ndarray:
+    """One-shot: fresh state -> render -> colorize -> host uint16 array."""
+    state = render(config, None, key, angle=angle)
+    return np.asarray(jax.device_get(colorize(config, state)))
+
+
+def render_parallel(config: Config, key=None, *, devices=None) -> np.ndarray:
+    """Render using every visible device (reference: src/lib.rs:1051-1082).
+
+    With one device this equals :func:`render_frame`; with more, trajectory
+    lanes shard across the mesh and the canvases merge with collectives
+    (count: psum; depth/steps: max-by-key) — the TPU replacement for the
+    thread pool + ``Runtime::merge`` fold.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if len(devices) <= 1:
+        return render_frame(config, key)
+    from .parallel.mesh import render_sharded
+
+    state = render_sharded(config, devices, seed_key(config, key))
+    return np.asarray(jax.device_get(colorize(config, state)))
+
+
+def render_sequence(
+    config: Config,
+    start_deg: float,
+    end_deg: float,
+    step_deg: float,
+    key=None,
+) -> Iterator[tuple[float, np.ndarray]]:
+    """Animation frames rotating the camera (reference ``sequence``
+    subcommand, src/bin/main.rs:327-367 + AngleIter, main.rs:107-176).
+
+    Yields ``(angle_degrees, image)``. Frames reuse the compiled kernels —
+    only the traced cos/sin change per frame (the reference re-renders per
+    frame on the same thread pool, main.rs:496-512).
+    """
+    from .utils.sequencing import angle_iter
+
+    for angle_deg in angle_iter(start_deg, end_deg, step_deg):
+        image = render_frame(config, key, angle=float(np.radians(angle_deg)))
+        yield angle_deg, image

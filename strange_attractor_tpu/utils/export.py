@@ -1,0 +1,165 @@
+"""Image export: PNG (8/16-bit), BMP (8-bit), PAM (8/16-bit).
+
+Mirrors the reference CLI's export matrix (src/bin/main.rs:27-104): the base
+render is 16-bit RGBA; (transparent, 8-bit) flags select Rgba16 / Rgb16 /
+Rgba8 / Rgb8; the container is PNG by default, or PAM / BMP on request.
+
+Writers are dependency-free (stdlib zlib/struct): the reference's ``image``
+crate equivalents. 16-bit PNG samples are big-endian per the PNG spec.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+def convert_format(image_u16: np.ndarray, transparent: bool, eight_bit: bool) -> np.ndarray:
+    """Apply the (transparent, 8-bit) conversion matrix (main.rs:52-57).
+
+    ``image_u16`` is (H, W, 4) uint16. Dropping alpha slices the array;
+    16->8-bit scales with rounding (``round(v * 255 / 65535)``), matching the
+    image crate's normalized channel conversion.
+    """
+    img = image_u16 if transparent else image_u16[..., :3]
+    if eight_bit:
+        img = ((img.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    return img
+
+
+# ---------------------------------------------------------------- PNG ----
+
+
+def png_bytes(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3|4) uint8/uint16 as a PNG byte string."""
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(f"expected (H, W, 3|4), got {arr.shape}")
+    h, w, ch = arr.shape
+    if arr.dtype == np.uint8:
+        depth, raw = 8, arr
+    elif arr.dtype == np.uint16:
+        depth, raw = 16, arr.astype(">u2")
+    else:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    color_type = 6 if ch == 4 else 2
+
+    rows = raw.reshape(h, -1).view(np.uint8).reshape(h, -1)
+    # 'Up' filter generally compresses smooth renders well; row 0 uses None.
+    filtered = bytearray()
+    prev = np.zeros(rows.shape[1], np.uint8)
+    for y in range(h):
+        row = rows[y]
+        up = (row - prev).astype(np.uint8)
+        if int(np.count_nonzero(up)) < int(np.count_nonzero(row)):
+            filtered.append(2)  # Up
+            filtered.extend(up.tobytes())
+        else:
+            filtered.append(0)  # None
+            filtered.extend(row.tobytes())
+        prev = row
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        out = struct.pack(">I", len(payload)) + tag + payload
+        return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(filtered), 6)
+    return b"".join(
+        [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr), chunk(b"IDAT", idat), chunk(b"IEND", b"")]
+    )
+
+
+def write_png(path, arr: np.ndarray) -> None:
+    Path(path).write_bytes(png_bytes(arr))
+
+
+# ---------------------------------------------------------------- BMP ----
+
+
+def bmp_bytes(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3|4) uint8 as BMP (24/32 bpp, bottom-up, BGR[A])."""
+    if arr.dtype != np.uint8:
+        raise ValueError("BMP export requires 8-bit data (reference CLI constraint)")
+    h, w, ch = arr.shape
+    if ch == 4:
+        bgra = arr[..., [2, 1, 0, 3]]
+        row_bytes = bgra[::-1].tobytes()
+        bpp, compression = 32, 3  # BI_BITFIELDS
+        # BITMAPV4-style masks for BGRA
+        extra = struct.pack("<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+        header_size = 40 + 16
+    else:
+        bgr = arr[..., [2, 1, 0]]
+        pad = (-(w * 3)) % 4
+        rows = [bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)]
+        row_bytes = b"".join(rows)
+        bpp, compression = 24, 0
+        extra = b""
+        header_size = 40
+    pixel_offset = 14 + header_size
+    file_size = pixel_offset + len(row_bytes)
+    file_header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", header_size, w, h, 1, bpp, compression, len(row_bytes), 2835, 2835, 0, 0
+    )
+    return file_header + info + extra + row_bytes
+
+
+def write_bmp(path, arr: np.ndarray) -> None:
+    Path(path).write_bytes(bmp_bytes(arr))
+
+
+# ---------------------------------------------------------------- PAM ----
+
+
+def pam_bytes(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3|4) uint8/uint16 as PAM (P7 ArbitraryMap,
+    reference: main.rs:64-70)."""
+    h, w, ch = arr.shape
+    maxval = 255 if arr.dtype == np.uint8 else 65535
+    tupltype = "RGB_ALPHA" if ch == 4 else "RGB"
+    header = (
+        f"P7\nWIDTH {w}\nHEIGHT {h}\nDEPTH {ch}\nMAXVAL {maxval}\n"
+        f"TUPLTYPE {tupltype}\nENDHDR\n"
+    ).encode()
+    data = arr.tobytes() if arr.dtype == np.uint8 else arr.astype(">u2").tobytes()
+    return header + data
+
+
+def write_pam(path, arr: np.ndarray) -> None:
+    Path(path).write_bytes(pam_bytes(arr))
+
+
+# ------------------------------------------------------------- driver ----
+
+
+def write_image(
+    base_path,
+    image_u16: np.ndarray,
+    *,
+    fmt: str = "png",
+    transparent: bool = True,
+    eight_bit: bool = False,
+    silent: bool = True,
+) -> Path:
+    """Convert + write; returns the final path with extension
+    (reference: main.rs:40-100)."""
+    if not silent:
+        print("Converting image format.")
+    arr = convert_format(image_u16, transparent, eight_bit)
+    path = Path(base_path).with_suffix("." + fmt)
+    if not silent:
+        print("Rendering complete. Writing file.")
+    if fmt == "png":
+        write_png(path, arr)
+    elif fmt == "bmp":
+        write_bmp(path, arr)
+    elif fmt == "pam":
+        write_pam(path, arr)
+    else:
+        raise ValueError(f"unknown format {fmt!r} (png, bmp, pam)")
+    print(f"Wrote image to '{path}'.")
+    return path

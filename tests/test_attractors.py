@@ -1,0 +1,74 @@
+"""Unit tests: map step and preset constants vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from strange_attractor_tpu import presets
+from strange_attractor_tpu.models.attractors import PolynomialSprott2Degree
+
+
+@pytest.mark.parametrize("preset", [presets.poisson_saturne, presets.solar_sail])
+def test_step_matches_numpy_oracle(preset):
+    cfg = preset()
+    p = np.array([[0.05, 0.02, 0.08], [0.0, 0.0, 0.0], [-0.3, 0.4, -0.1]], np.float32)
+    got = np.asarray(cfg.attractor.step(jnp.asarray(p)))
+    want = cfg.attractor.step_numpy(p)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)
+
+
+def test_step_hand_computed():
+    # identity-ish check: with x-row = e_x (coefficient on the 'x' monomial),
+    # y-row = e_1 (constant), z-row = e_{z^2}
+    a = PolynomialSprott2Degree(
+        x=(0, 1, 0, 0, 0, 0, 0, 0, 0, 0),
+        y=(1, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+        z=(0, 0, 0, 0, 0, 0, 0, 0, 0, 1),
+    )
+    p = np.array([0.5, -0.25, 2.0], np.float64)
+    out = a.step_numpy(p)
+    np.testing.assert_allclose(out, [0.5, 1.0, 4.0])
+
+
+def test_monomial_order_matches_reference():
+    # monomials are [1, x, x^2, xy, xz, y, y^2, yz, z, z^2] (src/lib.rs:602-613)
+    p = np.array([2.0, 3.0, 5.0], np.float64)
+    expect_monoms = [1, 2, 4, 6, 10, 3, 9, 15, 5, 25]
+    for i, m in enumerate(expect_monoms):
+        coeffs = [0.0] * 10
+        coeffs[i] = 1.0
+        a = PolynomialSprott2Degree(x=tuple(coeffs), y=(0,) * 10, z=(0,) * 10)
+        assert a.step_numpy(p)[0] == m
+
+
+def test_trajectory_stays_bounded_poisson_saturne():
+    cfg = presets.poisson_saturne()
+    p = np.array([0.05, 0.05, 0.05], np.float32)
+    for _ in range(5000):
+        p = cfg.attractor.step_numpy(p)
+    assert np.all(np.isfinite(p))
+    assert np.all(np.abs(p) < 10.0)
+
+
+def test_preset_constants_spot_checks():
+    ps = presets.poisson_saturne()
+    assert ps.attractor.x[0] == 0.021
+    assert ps.attractor.y[3] == -0.835443
+    assert ps.view.center_camera == (-0.005, 0.262, -0.366 + 0.12)
+    assert ps.view.rotation.rotation == 1.78268191887446
+    ss = presets.solar_sail()
+    assert ss.view.scale == 1.7
+    assert ss.color_transform.factor == -0.2
+    assert ss.color_transform.offset == 0.8
+    # solar-sail's axis is intentionally unnormalized (release-build quirk)
+    ax = np.array(ss.view.rotation.axis)
+    assert abs(np.linalg.norm(ax) - 1.0) > 0.2
+
+
+def test_fingerprints_distinguish():
+    a = presets.poisson_saturne()
+    b = presets.solar_sail()
+    assert a.fingerprint() != b.fingerprint()
+    assert a.fingerprint() == presets.poisson_saturne().fingerprint()
+    assert a.replace(angle=0.3).fingerprint() != a.fingerprint()

@@ -1,0 +1,112 @@
+"""CLI tests: flag surface, export matrix, sequence naming, completion."""
+
+import os
+
+import numpy as np
+import pytest
+
+from strange_attractor_tpu.cli import build_parser, config_from_args, main
+from strange_attractor_tpu.config import BinStrategy, RenderKind
+
+FAST = [
+    "-i", "4000", "-w", "32", "-h", "18", "--lanes", "32", "--chunk-steps", "16",
+    "--seed", "1", "-q",
+]
+
+
+def test_defaults_match_reference():
+    args = build_parser().parse_args([])
+    assert args.iterations == 10_000_000
+    assert args.width == 1920 and args.height == 1080
+    assert args.scale == 1.0 and args.preset == "poisson-saturne"
+    assert args.jobs_per_thread == 12 and args.angle == 0.0
+    assert args.brightness_offset == -0.15
+    assert args.name == "attractor"
+    assert not args.transparent and not args.eight_bit and not args.depth
+
+
+def test_config_from_args():
+    args = build_parser().parse_args(
+        ["-i", "5000", "-b", "-0.25", "-s", "1.7", "--depth", "-t", "-a", "90"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.iterations == 5000
+    assert cfg.colors.brightness.offset == -0.25
+    assert cfg.view.scale == 1.7
+    assert cfg.render == RenderKind.DEPTH
+    assert cfg.transparent
+    np.testing.assert_allclose(cfg.angle, np.pi / 2)
+
+
+def test_sequence_validation(capsys):
+    with pytest.raises(SystemExit):
+        main(FAST + ["sequence", "-s", "10", "-e", "5"])
+    with pytest.raises(SystemExit):
+        main(FAST + ["sequence", "-d", "-1"])
+
+
+def test_format_requires_8bit():
+    with pytest.raises(SystemExit):
+        main(FAST + ["--pam"])
+    with pytest.raises(SystemExit):
+        main(FAST + ["--bmp"])
+
+
+def test_render_png(tmp_path):
+    out = tmp_path / "img"
+    assert main(FAST + ["-o", str(out)]) == 0
+    assert (tmp_path / "img.png").exists()
+
+
+def test_render_bmp_8bit(tmp_path):
+    out = tmp_path / "img"
+    assert main(FAST + ["-o", str(out), "--bmp", "-8"]) == 0
+    assert (tmp_path / "img.bmp").exists()
+
+
+def test_render_pam_8bit_transparent(tmp_path):
+    out = tmp_path / "img"
+    assert main(FAST + ["-o", str(out), "--pam", "-8", "-t"]) == 0
+    data = (tmp_path / "img.pam").read_bytes()
+    assert data.startswith(b"P7") and b"DEPTH 4" in data
+
+
+def test_render_depth_16bit(tmp_path):
+    out = tmp_path / "img"
+    assert main(FAST + ["-o", str(out), "--depth"]) == 0
+    assert (tmp_path / "img.png").exists()
+
+
+def test_sequence_naming(tmp_path):
+    out = tmp_path / "anim"
+    assert main(FAST + ["-o", str(out), "sequence", "-s", "0", "-e", "3", "-d", "1"]) == 0
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["anim0.png", "anim1.png", "anim2.png"]
+
+
+def test_single_frame_plain_name(tmp_path):
+    out = tmp_path / "one"
+    assert main(FAST + ["-o", str(out), "-a", "45"]) == 0
+    assert (tmp_path / "one.png").exists()
+
+
+def test_state_checkpoint_roundtrip(tmp_path):
+    out = tmp_path / "img"
+    ckpt = tmp_path / "state.npz"
+    assert main(FAST + ["-o", str(out), "--save-state", str(ckpt)]) == 0
+    assert ckpt.exists()
+    assert main(FAST + ["-o", str(out), "--load-state", str(ckpt)]) == 0
+
+
+def test_completion_script(capsys):
+    assert main(["completion", "--shell", "bash"]) == 0
+    out = capsys.readouterr().out
+    assert "--iterations" in out and "complete -F" in out
+    assert main(["completion", "--shell", "fish"]) == 0
+    assert "complete -c" in capsys.readouterr().out
+
+
+def test_bin_strategy_flag(tmp_path):
+    out = tmp_path / "img"
+    assert main(FAST + ["-o", str(out), "--bin-strategy", "exact"]) == 0
+    assert main(FAST + ["-o", str(out), "--bin-strategy", "packed"]) == 0

@@ -1,0 +1,101 @@
+"""Tone-map tests: palette interpolation and colorize vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from strange_attractor_tpu import presets
+from strange_attractor_tpu.config import Palette, RenderKind
+from strange_attractor_tpu.ops.colorize import colorize_planes, palette_lookup
+from strange_attractor_tpu.oracle import oracle_colorize
+
+
+def test_palette_lookup_matches_numpy():
+    pal = Palette.from_rgb(
+        [1.0, 0.5, 1.0, 0.5, 0.5, 1.0],
+        [1.0, 1.0, 0.5, 1.0, 0.5, 0.5],
+        [0.5, 0.5, 0.5, 1.0, 1.0, 1.0],
+    )
+    v = np.linspace(-0.5, 1.5, 257).astype(np.float32)
+    got = np.asarray(palette_lookup(pal.stops, jnp.asarray(v)))
+    want = pal.interpolate_numpy(v)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_palette_hand_values():
+    pal = Palette.from_rgb([0.0, 1.0], [0.25, 0.25], [1.0, 0.0])
+    # value 0 -> first stop, sqrt applied (src/lib.rs:468-470)
+    np.testing.assert_allclose(pal.interpolate_numpy(0.0), [0.0, 0.5, 1.0])
+    # midpoint of the 2-stop palette: v=0.25 -> n=0, frac=0.5
+    np.testing.assert_allclose(
+        pal.interpolate_numpy(0.25), np.sqrt([0.5, 0.25, 0.5]), rtol=1e-12
+    )
+    # clamped above: 0.999999 * 2 -> n=1 (duplicate last stop keeps it exact)
+    np.testing.assert_allclose(pal.interpolate_numpy(5.0), np.sqrt([1.0, 0.25, 0.0]), atol=1e-5)
+
+
+def _planes(rng, h=6, w=9):
+    count = rng.integers(0, 50, (h, w)).astype(np.uint32)
+    steps = rng.random((h, w)).astype(np.float32)
+    zbuf = np.where(
+        rng.random((h, w)) < 0.3, np.float32(-1.0), rng.normal(0, 0.4, (h, w)).astype(np.float32)
+    )
+    return count, steps, zbuf
+
+
+@pytest.mark.parametrize("transparent", [True, False])
+def test_gas_matches_oracle(transparent):
+    cfg = presets.poisson_saturne(width=9, height=6, transparent=transparent)
+    count, steps, zbuf = _planes(np.random.default_rng(0))
+    got = np.asarray(
+        colorize_planes(cfg, jnp.asarray(count), jnp.asarray(steps), jnp.asarray(zbuf))
+    )
+    want = oracle_colorize(cfg, count, steps, zbuf)
+    # float32 vs float64 tone-map: allow 1-2 ulp of u16
+    assert got.shape == want.shape == (6, 9, 4)
+    assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 2
+
+
+def test_depth_matches_oracle():
+    cfg = presets.poisson_saturne(width=9, height=6, render=RenderKind.DEPTH)
+    count, steps, zbuf = _planes(np.random.default_rng(1))
+    got = np.asarray(
+        colorize_planes(cfg, jnp.asarray(count), jnp.asarray(steps), jnp.asarray(zbuf))
+    )
+    want = oracle_colorize(cfg, count, steps, zbuf)
+    assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 1
+    # sentinel pixels map to 0 gray, opaque alpha
+    assert np.all(got[zbuf == -1.0, :3] == 0)
+    assert np.all(got[..., 3] == 65535)
+
+
+def test_gas_empty_render_is_black():
+    cfg = presets.poisson_saturne(width=4, height=3)
+    count = np.zeros((3, 4), np.uint32)
+    steps = np.zeros((3, 4), np.float32)
+    zbuf = np.full((3, 4), -1.0, np.float32)
+    got = np.asarray(
+        colorize_planes(cfg, jnp.asarray(count), jnp.asarray(steps), jnp.asarray(zbuf))
+    )
+    want = oracle_colorize(cfg, count, steps, zbuf)
+    np.testing.assert_array_equal(got, want)
+    assert np.all(got == 0)
+
+
+def test_saturating_cast():
+    # brightness factors that drive channels out of [0, 65535]
+    from strange_attractor_tpu.config import BrightnessConstants, Colors
+
+    cfg = presets.poisson_saturne(
+        width=2, height=1, colors=Colors(brightness=BrightnessConstants(offset=5.0, factor=100.0))
+    )
+    count = np.array([[10, 0]], np.uint32)
+    steps = np.array([[0.5, 0.0]], np.float32)
+    zbuf = np.zeros((1, 2), np.float32)
+    got = np.asarray(
+        colorize_planes(cfg, jnp.asarray(count), jnp.asarray(steps), jnp.asarray(zbuf))
+    )
+    assert np.all(got[0, 0, :3] == 65535)  # saturated high
+    want = oracle_colorize(cfg, count, steps, zbuf)
+    np.testing.assert_array_equal(got, want)

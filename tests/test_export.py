@@ -1,0 +1,121 @@
+"""Export tests: format conversion matrix and PNG/BMP/PAM writers."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from strange_attractor_tpu.utils.export import (
+    bmp_bytes,
+    convert_format,
+    pam_bytes,
+    png_bytes,
+    write_image,
+)
+
+
+def _decode_png(data: bytes):
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    chunks = {}
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF
+        chunks.setdefault(tag, b"")
+        chunks[tag] += payload
+        pos += 12 + length
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", chunks[b"IHDR"])
+    ch = {2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(chunks[b"IDAT"])
+    bpp = ch * (depth // 8)
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], np.uint8).copy()
+        pos += 1 + stride
+        if ftype == 2:  # Up
+            row = (row + prev).astype(np.uint8)
+        elif ftype != 0:
+            raise AssertionError(f"unexpected filter {ftype}")
+        out[y] = row
+        prev = row
+    if depth == 16:
+        arr = out.reshape(h, w, ch, 2)
+        return (arr[..., 0].astype(np.uint16) << 8) | arr[..., 1]
+    return out.reshape(h, w, ch)
+
+
+@pytest.fixture
+def img16():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 65536, (5, 7, 4)).astype(np.uint16)
+
+
+@pytest.mark.parametrize("transparent", [True, False])
+@pytest.mark.parametrize("eight_bit", [True, False])
+def test_convert_matrix(img16, transparent, eight_bit):
+    out = convert_format(img16, transparent, eight_bit)
+    assert out.shape[2] == (4 if transparent else 3)
+    assert out.dtype == (np.uint8 if eight_bit else np.uint16)
+    if eight_bit:
+        # round(v * 255 / 65535)
+        want = np.round(img16[..., : out.shape[2]].astype(np.float64) * 255 / 65535)
+        np.testing.assert_array_equal(out, want.astype(np.uint8))
+
+
+@pytest.mark.parametrize("ch", [3, 4])
+@pytest.mark.parametrize("depth", [8, 16])
+def test_png_roundtrip(img16, ch, depth):
+    arr = img16[..., :ch]
+    if depth == 8:
+        arr = (arr >> 8).astype(np.uint8)
+    data = png_bytes(arr)
+    got = _decode_png(data)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_bmp_roundtrip_via_pil(img16, tmp_path):
+    from PIL import Image
+
+    arr8 = (img16 >> 8).astype(np.uint8)
+    # RGB 24bpp
+    p = tmp_path / "t.bmp"
+    p.write_bytes(bmp_bytes(arr8[..., :3]))
+    got = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(got, arr8[..., :3])
+    # RGBA 32bpp
+    p2 = tmp_path / "t2.bmp"
+    p2.write_bytes(bmp_bytes(arr8))
+    got2 = np.asarray(Image.open(p2).convert("RGBA"))
+    np.testing.assert_array_equal(got2, arr8)
+
+
+def test_pam_roundtrip(img16):
+    arr8 = (img16 >> 8).astype(np.uint8)
+    data = pam_bytes(arr8)
+    header, _, body = data.partition(b"ENDHDR\n")
+    assert b"P7" in header and b"DEPTH 4" in header and b"MAXVAL 255" in header
+    got = np.frombuffer(body, np.uint8).reshape(arr8.shape)
+    np.testing.assert_array_equal(got, arr8)
+    # 16-bit PAM is big-endian
+    data16 = pam_bytes(img16)
+    _, _, body16 = data16.partition(b"ENDHDR\n")
+    got16 = np.frombuffer(body16, ">u2").reshape(img16.shape).astype(np.uint16)
+    np.testing.assert_array_equal(got16, img16)
+
+
+def test_write_image_driver(img16, tmp_path):
+    out = write_image(tmp_path / "frame", img16, fmt="png", transparent=True,
+                      eight_bit=False, silent=True)
+    assert out.name == "frame.png" and out.exists()
+    got = _decode_png(out.read_bytes())
+    np.testing.assert_array_equal(got, img16)
+    with pytest.raises(ValueError):
+        write_image(tmp_path / "x", img16, fmt="tiff")

@@ -1,0 +1,123 @@
+"""End-to-end render vs the numpy oracle.
+
+Two regimes:
+
+- short horizon, EXACT strategy: with the same seed points the XLA-CPU and
+  numpy float32 trajectories should agree closely for tens of steps, so the
+  binned planes match (nearly) pixel-for-pixel.
+- long horizon: chaotic divergence decorrelates individual orbits, but the
+  rendered histogram converges to the same invariant measure — the exact
+  argument the reference uses to justify merging independent renders
+  (src/lib.rs:1037-1048). Compared tone-mapped, statistically.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from strange_attractor_tpu import colorize, presets, render
+from strange_attractor_tpu.config import BinStrategy
+from strange_attractor_tpu.oracle import oracle_colorize, oracle_render
+from strange_attractor_tpu.render import plan_schedule, seed_key
+from strange_attractor_tpu.runtime import RenderState
+
+
+def _seeds_like_render(cfg, key):
+    lanes, _, _ = plan_schedule(cfg)
+    return np.asarray(jax.random.uniform(key, (lanes, 3), dtype=jnp.float32) * 0.1)
+
+
+def test_short_horizon_matches_oracle_exactly():
+    cfg = presets.poisson_saturne(
+        width=64, height=36, lanes=4, chunk_steps=16, iterations=4 * 16 * 2,
+        warmup=100, seed=7, bin_strategy=BinStrategy.EXACT,
+    )
+    key = seed_key(cfg)
+    seeds = _seeds_like_render(cfg, key)
+    state = render(cfg, key=key)
+    oc, os_, oz = oracle_render(cfg, seeds, steps_per_lane=32)
+
+    count = np.asarray(state.count)
+    total = count.sum()
+    assert total == oc.sum() > 0
+    # float32 trajectories may disagree in the last ulp near pixel edges;
+    # demand near-perfect agreement rather than bitwise equality
+    agree = (count == oc).mean()
+    assert agree > 0.999, f"count agreement {agree}"
+    zb = np.asarray(state.zbuf)
+    assert (np.isclose(zb, oz, atol=1e-5) | (zb == -1) != (oz == -1)).mean() < 0.01
+
+
+@pytest.mark.parametrize("preset", ["poisson-saturne", "solar-sail"])
+def test_long_horizon_statistical(preset):
+    cfg = presets.by_name(
+        preset,
+        width=96, height=54, iterations=400_000, lanes=128, chunk_steps=125,
+        warmup=1000, seed=3, bin_strategy=BinStrategy.EXACT, transparent=False,
+    )
+    key = seed_key(cfg)
+    state = render(cfg, key=key)
+    img = np.asarray(jax.device_get(colorize(cfg, state)))
+
+    # oracle with DIFFERENT trajectories (its own seeds) but same config:
+    # histograms must agree statistically after tone mapping
+    rng = np.random.default_rng(0)
+    seeds = (rng.random((8, 3)) * 0.1).astype(np.float32)
+    oc, os_, oz = oracle_render(cfg, seeds, steps_per_lane=50_000)
+    want = oracle_colorize(cfg, oc, os_, oz)
+
+    got = img[..., :3].astype(np.float64) / 65535.0
+    ref = want[..., :3].astype(np.float64) / 65535.0
+    mad = np.abs(got - ref).mean()
+    assert mad < 0.035, f"mean abs tone-mapped diff {mad}"
+    # support overlap: pixels visited should mostly coincide
+    va, vb = np.asarray(state.count) > 0, oc > 0
+    overlap = (va & vb).sum() / max(1, (va | vb).sum())
+    assert overlap > 0.80, f"support overlap {overlap}"
+
+
+def test_packed_vs_exact_same_trajectories():
+    cfg = presets.poisson_saturne(
+        width=96, height=54, iterations=200_000, lanes=128, chunk_steps=125,
+        seed=11, transparent=True,
+    )
+    key = seed_key(cfg)
+    st_e = render(cfg.replace(bin_strategy=BinStrategy.EXACT), key=key)
+    st_p = render(
+        cfg.replace(bin_strategy=BinStrategy.PACKED),
+        RenderState.create(cfg, BinStrategy.PACKED),
+        key=key,
+    )
+    np.testing.assert_array_equal(np.asarray(st_e.count), np.asarray(st_p.count))
+    img_e = np.asarray(jax.device_get(colorize(cfg, st_e))).astype(np.int64)
+    img_p = np.asarray(jax.device_get(colorize(cfg, st_p))).astype(np.int64)
+    # packed quantizes the palette position to 1/4096 and depth to ~2^-11:
+    # tone-mapped images agree to a fraction of a percent
+    assert np.abs(img_e - img_p).mean() < 0.005 * 65535
+    assert (np.abs(img_e - img_p) > 0.02 * 65535).mean() < 0.01
+
+
+def test_progressive_accumulation():
+    """render() without reset keeps building the image (src/lib.rs:742-744)."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=50_000, lanes=64, seed=5,
+        bin_strategy=BinStrategy.EXACT,
+    )
+    st1 = render(cfg, key=jax.random.PRNGKey(0))
+    total1 = int(st1.count.sum())
+    st2 = render(cfg, st1, key=jax.random.PRNGKey(1))
+    total2 = int(st2.count.sum())
+    assert total2 > total1 > 0
+    # zbuf only improves (monotone under accumulation)
+    assert np.all(np.asarray(st2.zbuf) >= np.asarray(st1.zbuf) - 1e-6)
+
+
+def test_angle_changes_output_without_recompile():
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=50_000, lanes=64, seed=5,
+    )
+    img0 = render(cfg, key=jax.random.PRNGKey(0), angle=0.0)
+    img1 = render(cfg, key=jax.random.PRNGKey(0), angle=2.0)
+    assert not np.array_equal(np.asarray(img0.count), np.asarray(img1.count))
