@@ -202,8 +202,9 @@ class Config:
         if self.chunk_steps is not None:
             return max(1, int(self.chunk_steps))
         lanes = self.resolved_lanes()
-        # cap the emitted per-chunk point buffer at ~4M points
-        return max(1, min(512, (4 << 20) // lanes))
+        # cap the emitted per-chunk point buffer at ~1M points (measured best
+        # on v5e: smaller flushes keep the scatter pipeline dense)
+        return max(1, min(512, (1 << 20) // lanes))
 
     def resolved_bin_strategy(self, platform: str) -> BinStrategy:
         if self.bin_strategy != BinStrategy.AUTO:
@@ -230,8 +231,9 @@ class Config:
             self.render.value,
             self.transparent,
             self.angle,
-            self.lanes,
-            self.chunk_steps,
+            # lanes/chunk_steps enter kernel cache keys as *resolved* values
+            self.resolved_lanes(),
+            self.resolved_chunk_steps(),
             self.warmup,
             self.bin_strategy.value,
             self.dtype,

@@ -101,12 +101,19 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
 def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     """Compile (init, run) for a config; cached on the angle-free fingerprint
     (the camera angle is a traced cos/sin pair so sequences don't recompile)."""
-    key = (config.replace(angle=0.0).fingerprint(), strategy.value, nchunks)
+    lanes, chunk_steps, _ = plan_schedule(config)
+    # angle is traced and iteration count only picks how often kernels run,
+    # so neither belongs in the compile cache key
+    key = (
+        config.replace(angle=0.0, iterations=1).fingerprint(),
+        lanes,
+        chunk_steps,
+        strategy.value,
+        nchunks,
+    )
     hit = _KERNEL_CACHE.get(key)
     if hit is not None:
         return hit
-
-    lanes, chunk_steps, _ = plan_schedule(config)
     cam = camera_params(config.view, 0.0, config.width, config.height)
     dt = _dtype(config)
     step = _step_fn(config, cam, strategy)
@@ -161,6 +168,24 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     return init, run
 
 
+def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> None:
+    """Build every kernel variant a :func:`render` call will need, so timed
+    runs measure execution only (first TPU compile is tens of seconds)."""
+    if strategy is None:
+        strategy = config.resolved_bin_strategy(jax.default_backend())
+    lanes, chunk_steps, nchunks = plan_schedule(config)
+    # a 33-chunk run exercises both kernel variants (32-chunk + 1-chunk);
+    # pin the resolved schedule so the warm run hits the same cache keys
+    warm = config.replace(
+        iterations=lanes * chunk_steps * min(nchunks, 33),
+        lanes=lanes,
+        chunk_steps=chunk_steps,
+        silent=True,
+    )
+    state = render(warm, RenderState.create(config, strategy), jax.random.PRNGKey(0))
+    jax.device_get(state.count.sum())
+
+
 def render(
     config: Config,
     state: Optional[RenderState] = None,
@@ -183,7 +208,9 @@ def render(
         return state
 
     lanes, chunk_steps, nchunks = plan_schedule(config)
-    # split chunks over a few dispatches so long renders report progress
+    # split chunks over a few dispatches so long renders report progress;
+    # only two kernel variants ever compile (32-chunk and 1-chunk), so a
+    # short warm-up run covers every future iteration count
     inner = min(nchunks, 32)
     outer_full, rem = divmod(nchunks, inner)
 
@@ -215,8 +242,8 @@ def render(
         done += inner
         if not config.silent:
             print(f"Iteration complete, {nchunks - done} left to go.")
-    if rem:
-        planes, cur, prev = dispatch(rem, planes, cur, prev)
+    for _ in range(rem):
+        planes, cur, prev = dispatch(1, planes, cur, prev)
     if not config.silent:
         executed = lanes * chunk_steps * nchunks
         dtime = time.perf_counter() - t0
