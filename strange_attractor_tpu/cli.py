@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bin-strategy", choices=["auto", "exact", "packed"], default="auto",
                    help="Canvas accumulation strategy (see docs)")
     p.add_argument("--seed", type=int, default=None, help="Deterministic RNG seed")
+    p.add_argument("--reseed-lanes", dest="reseed_lanes", action="store_true",
+                   help="Resurrect trajectory lanes whose orbit escaped to infinity "
+                        "(more samples/sec for escaping coefficient sets like "
+                        "solar-sail; off replicates the reference's behavior)")
     p.add_argument("--save-state", default=None, metavar="PATH",
                    help="Checkpoint the accumulator state to PATH (.npz) after rendering")
     p.add_argument("--load-state", default=None, metavar="PATH",
@@ -140,6 +144,7 @@ def config_from_args(args):
         chunk_steps=args.chunk_steps,
         bin_strategy=BinStrategy(args.bin_strategy),
         seed=args.seed,
+        reseed_lanes=args.reseed_lanes,
     )
     config = config.replace(view=config.view.replace(scale=args.scale))
     return config

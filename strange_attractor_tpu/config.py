@@ -182,6 +182,11 @@ class Config:
     bin_strategy: BinStrategy = BinStrategy.AUTO
     dtype: str = "float32"
     seed: Optional[int] = None
+    # Resurrect lanes whose orbit escaped to infinity (see
+    # render._reseed_dead_lanes). Off by default for reference parity: the
+    # reference lets escaped work units burn their remaining iterations
+    # (~40% of solar-sail seeds escape even in its f64 math).
+    reseed_lanes: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -237,6 +242,7 @@ class Config:
             self.warmup,
             self.bin_strategy.value,
             self.dtype,
+            self.reseed_lanes,
         ]
         h.update(repr(parts).encode())
         h.update(self.colors.palette.fingerprint())

@@ -79,10 +79,14 @@ def _local_render_fn(config: Config, strategy: BinStrategy, lanes: int, nchunks:
     npix = config.width * config.height
 
     def body(key, cos_v, sin_v):
+        from ..render import _reseed_dead_lanes
+
         key = jax.random.fold_in(key, lax.axis_index(axis))
         p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
         cur = lax.fori_loop(0, config.warmup, lambda i, p: config.attractor.step(p), p0)
         prev = cur
+        age = jnp.zeros((lanes,), jnp.int32)
+        rkey = jax.random.fold_in(key, 0x5EED)
 
         count = jnp.zeros((npix,), jnp.uint32)
         if strategy == BinStrategy.PACKED:
@@ -91,21 +95,20 @@ def _local_render_fn(config: Config, strategy: BinStrategy, lanes: int, nchunks:
             acc = (count, jnp.zeros((npix,), jnp.float32), jnp.full((npix,), -1.0, jnp.float32))
 
         def chunk(carry, _):
-            planes, cur, prev = carry
-            (cur, prev, _, _), emitted = lax.scan(
-                step, (cur, prev, cos_v, sin_v), None, length=chunk_steps
+            planes, cur, prev, age, rkey = carry
+            if config.reseed_lanes:
+                rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
+            (cur, prev, age, _, _), emitted = lax.scan(
+                step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps
             )
-            flat = emitted[0].reshape(-1)
+            emitted = tuple(e.reshape(-1) for e in emitted)
             if strategy == BinStrategy.PACKED:
-                planes = binning.bin_chunk_packed(planes[0], planes[1], flat, emitted[1].reshape(-1))
+                planes = binning.bin_chunk_packed(*planes, *emitted)
             else:
-                planes = binning.bin_chunk_exact(
-                    planes[0], planes[1], planes[2], flat,
-                    emitted[1].reshape(-1), emitted[2].reshape(-1),
-                )
-            return (planes, cur, prev), None
+                planes = binning.bin_chunk_exact(*planes, *emitted)
+            return (planes, cur, prev, age, rkey), None
 
-        (acc, _, _), _ = lax.scan(chunk, (acc, cur, prev), None, length=nchunks)
+        (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
         return merge_collective(acc, strategy, axis)
 
     return body

@@ -76,12 +76,19 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
     npix = W * H
 
     def step(carry, _):
-        cur, prev, cos_v, sin_v = carry
+        cur, prev, age, cos_v, sin_v = carry
         new = attractor.step(cur)
         sx, sy, sz = rotate_point(cam, new, jnp)
         fi, fj, z2 = project(cam, sx, sy, sz, cos_v, sin_v, jnp)
         dt = fi.dtype
-        inb = (fi < W) & (fj < H) & (fi >= jnp.asarray(0.0, dt)) & (fj >= jnp.asarray(0.0, dt))
+        age = age + 1  # negative while a reseeded lane re-warms (emit when > 0)
+        inb = (
+            (fi < W)
+            & (fj < H)
+            & (fi >= jnp.asarray(0.0, dt))
+            & (fj >= jnp.asarray(0.0, dt))
+            & (age > 0)
+        )
         flat = jnp.where(
             inb, fj.astype(jnp.int32) * W + fi.astype(jnp.int32), jnp.int32(npix)
         )
@@ -93,9 +100,29 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
             emitted = (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
         else:
             emitted = (flat, z2.astype(jnp.float32), val.astype(jnp.float32))
-        return (new, new, cos_v, sin_v), emitted
+        return (new, new, age, cos_v, sin_v), emitted
 
     return step
+
+
+def _reseed_dead_lanes(config: Config, key, cur, prev, age, dt):
+    """Opt-in lane resurrection (``Config.reseed_lanes``).
+
+    Some coefficient sets have escaping basins: ~40% of solar-sail seed points
+    diverge to infinity within ~32 steps *in the reference's own f64 math*;
+    those work units silently render nothing (the bounds check at
+    src/lib.rs:789 skips every point). With reseeding on, escaped lanes
+    restart from a fresh seed and re-warm before emitting — strictly more
+    samples of the same invariant measure, so the normalized image is
+    unchanged but converges faster.
+    """
+    key, sub = jax.random.split(key)
+    bad = ~jnp.isfinite(cur).all(axis=-1) | (jnp.abs(cur).max(axis=-1) > jnp.asarray(1e3, dt))
+    fresh = jax.random.uniform(sub, cur.shape, dtype=dt) * jnp.asarray(0.1, dt)
+    cur = jnp.where(bad[:, None], fresh, cur)
+    prev = jnp.where(bad[:, None], fresh, prev)
+    age = jnp.where(bad, jnp.int32(-config.warmup), age)
+    return key, cur, prev, age
 
 
 def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
@@ -126,43 +153,28 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
         warmed = lax.fori_loop(0, config.warmup, lambda i, p: attractor.step(p), p0)
         return warmed
 
-    if strategy == BinStrategy.PACKED:
+    nplanes = 2 if strategy == BinStrategy.PACKED else 3
 
-        def chunk(carry, _):
-            count, packed, cur, prev, cos_v, sin_v = carry
-            (cur, prev, cos_v, sin_v), (flat, pz) = lax.scan(
-                step, (cur, prev, cos_v, sin_v), None, length=chunk_steps
-            )
-            count, packed = binning.bin_chunk_packed(
-                count, packed, flat.reshape(-1), pz.reshape(-1)
-            )
-            return (count, packed, cur, prev, cos_v, sin_v), None
+    def chunk(carry, _):
+        planes, cur, prev, age, rkey, cos_v, sin_v = carry
+        if config.reseed_lanes:
+            rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
+        (cur, prev, age, cos_v, sin_v), emitted = lax.scan(
+            step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps
+        )
+        emitted = tuple(e.reshape(-1) for e in emitted)
+        if strategy == BinStrategy.PACKED:
+            planes = binning.bin_chunk_packed(*planes, *emitted)
+        else:
+            planes = binning.bin_chunk_exact(*planes, *emitted)
+        return (planes, cur, prev, age, rkey, cos_v, sin_v), None
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def run(count, packed, cur, prev, cos_v, sin_v):
-            carry, _ = lax.scan(
-                chunk, (count, packed, cur, prev, cos_v, sin_v), None, length=nchunks
-            )
-            return carry[:4]
-
-    else:
-
-        def chunk(carry, _):
-            count, steps, zbuf, cur, prev, cos_v, sin_v = carry
-            (cur, prev, cos_v, sin_v), (flat, z, val) = lax.scan(
-                step, (cur, prev, cos_v, sin_v), None, length=chunk_steps
-            )
-            count, steps, zbuf = binning.bin_chunk_exact(
-                count, steps, zbuf, flat.reshape(-1), z.reshape(-1), val.reshape(-1)
-            )
-            return (count, steps, zbuf, cur, prev, cos_v, sin_v), None
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def run(count, steps, zbuf, cur, prev, cos_v, sin_v):
-            carry, _ = lax.scan(
-                chunk, (count, steps, zbuf, cur, prev, cos_v, sin_v), None, length=nchunks
-            )
-            return carry[:5]
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run(planes, cur, prev, age, rkey, cos_v, sin_v):
+        carry, _ = lax.scan(
+            chunk, (planes, cur, prev, age, rkey, cos_v, sin_v), None, length=nchunks
+        )
+        return carry[:5]
 
     _KERNEL_CACHE[key] = (init, run)
     return init, run
@@ -219,17 +231,19 @@ def render(
     cos_v = jnp.asarray(np.cos(a), dt)
     sin_v = jnp.asarray(np.sin(a), dt)
 
+    base_key = seed_key(config, key)
     init, _ = _build_kernels(config, strategy, inner)
-    cur = init(seed_key(config, key))
+    cur = init(base_key)
     prev = cur
+    age = jnp.zeros((cur.shape[0],), jnp.int32)
+    rkey = jax.random.fold_in(base_key, 0x5EED)
 
     shape = state.count.shape
     done = 0
 
-    def dispatch(n, planes, cur, prev):
+    def dispatch(n, planes, cur, prev, age, rkey):
         _, run = _build_kernels(config, strategy, n)
-        out = run(*planes, cur, prev, cos_v, sin_v)
-        return out[:-2], out[-2], out[-1]
+        return run(planes, cur, prev, age, rkey, cos_v, sin_v)
 
     if strategy == BinStrategy.PACKED:
         planes = (state.count.reshape(-1), state.packed.reshape(-1))
@@ -238,12 +252,12 @@ def render(
 
     t0 = time.perf_counter()
     for _ in range(outer_full):
-        planes, cur, prev = dispatch(inner, planes, cur, prev)
+        planes, cur, prev, age, rkey = dispatch(inner, planes, cur, prev, age, rkey)
         done += inner
         if not config.silent:
             print(f"Iteration complete, {nchunks - done} left to go.")
     for _ in range(rem):
-        planes, cur, prev = dispatch(1, planes, cur, prev)
+        planes, cur, prev, age, rkey = dispatch(1, planes, cur, prev, age, rkey)
     if not config.silent:
         executed = lanes * chunk_steps * nchunks
         dtime = time.perf_counter() - t0

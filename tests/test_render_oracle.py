@@ -121,3 +121,24 @@ def test_angle_changes_output_without_recompile():
     img0 = render(cfg, key=jax.random.PRNGKey(0), angle=0.0)
     img1 = render(cfg, key=jax.random.PRNGKey(0), angle=2.0)
     assert not np.array_equal(np.asarray(img0.count), np.asarray(img1.count))
+
+
+def test_reseed_lanes_recovers_escaped_orbits():
+    """solar-sail loses ~40% of its lanes to escaping orbits (a property of
+    the coefficients, present in the reference's f64 math too); with
+    reseed_lanes the sample count recovers and the image only gains samples."""
+    base = presets.by_name(
+        "solar-sail",
+        width=96, height=54, iterations=400_000, lanes=128, chunk_steps=125,
+        warmup=200, seed=3,
+    )
+    st_off = render(base, key=jax.random.PRNGKey(5))
+    st_on = render(base.replace(reseed_lanes=True), key=jax.random.PRNGKey(5))
+    n_off = int(st_off.count.sum())
+    n_on = int(st_on.count.sum())
+    assert n_on > 1.2 * n_off, (n_on, n_off)
+    # same attractor support: reseeded render covers at least what the
+    # baseline covers (statistically)
+    va = np.asarray(st_off.count) > 1
+    vb = np.asarray(st_on.count) > 0
+    assert (va & vb).sum() / max(1, va.sum()) > 0.95
