@@ -40,7 +40,15 @@ from .models.transforms import AdjustedVelocity, poisson_saturne_transform
 from .models import presets
 from .ops.projection import EulerAxisRotation
 from .runtime import RenderState, merge
-from .render import colorize, render, render_frame, render_parallel, render_sequence
+from .render import (
+    colorize,
+    precompile,
+    render,
+    render_frame,
+    render_parallel,
+    render_sequence,
+    render_sequence_batched,
+)
 
 __version__ = "0.1.0"
 
@@ -59,9 +67,11 @@ __all__ = [
     "colorize",
     "merge",
     "poisson_saturne_transform",
+    "precompile",
     "presets",
     "render",
     "render_frame",
     "render_parallel",
     "render_sequence",
+    "render_sequence_batched",
 ]

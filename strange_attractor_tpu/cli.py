@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="The angle to end the animation at (degrees)")
     seq.add_argument("-d", "--step", type=float, default=0.5,
                      help="Amount to change the angle for each frame (degrees)")
+    seq.add_argument("--frames-per-batch", dest="frames_per_batch", type=int, default=0,
+                     help="Render this many frames per device program as a vmapped "
+                          "batch (0 = serial frames). Best for many small frames.")
 
     comp = sub.add_parser("completion", help="Generate a shell completion script",
                           add_help=False)
@@ -200,9 +203,21 @@ def main(argv=None) -> int:
 
     try:
         if args.subcommand == "sequence":
-            for angle_deg, out_path in frame_sequence(args.start, args.end, args.step, base):
-                image = _render_one(args, config, render_mod, angle_rad=float(np.radians(angle_deg)))
-                write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
+            frames = list(frame_sequence(args.start, args.end, args.step, base))
+            if args.frames_per_batch > 0:
+                images = render_mod.render_sequence_batched(
+                    config,
+                    [a for a, _ in frames],
+                    frames_per_batch=args.frames_per_batch,
+                )
+                for (angle_deg, out_path), image in zip(frames, images):
+                    write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
+            else:
+                for angle_deg, out_path in frames:
+                    image = _render_one(
+                        args, config, render_mod, angle_rad=float(np.radians(angle_deg))
+                    )
+                    write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
         else:
             state = load_state(args.load_state) if args.load_state else None
             image, state = _render_stateful(args, config, render_mod, state)

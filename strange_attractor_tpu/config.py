@@ -131,11 +131,15 @@ class BinStrategy(enum.Enum):
       f32 depth, 12 low bits of the quantized palette position — so the whole
       z-test becomes a single scatter-max. Depth resolution ~2^-11 relative,
       palette resolution 1/4096: visually lossless, half the scatter cost.
-    - AUTO:   PACKED on TPU, EXACT elsewhere.
+    - DEPTH:  one exact f32 z-buffer plane only — all a RenderKind.DEPTH
+      output needs — for another 2x less scatter traffic. Such a state
+      cannot be colorized as Gas.
+    - AUTO:   on TPU, DEPTH for depth renders else PACKED; EXACT elsewhere.
     """
 
     EXACT = "exact"
     PACKED = "packed"
+    DEPTH = "depth"
     AUTO = "auto"
 
 
@@ -214,7 +218,9 @@ class Config:
     def resolved_bin_strategy(self, platform: str) -> BinStrategy:
         if self.bin_strategy != BinStrategy.AUTO:
             return self.bin_strategy
-        return BinStrategy.PACKED if platform == "tpu" else BinStrategy.EXACT
+        if platform != "tpu":
+            return BinStrategy.EXACT
+        return BinStrategy.DEPTH if self.render == RenderKind.DEPTH else BinStrategy.PACKED
 
     # ---- jit cache key ---------------------------------------------------
     def fingerprint(self) -> bytes:

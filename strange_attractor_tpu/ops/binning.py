@@ -101,3 +101,9 @@ def bin_chunk_packed(count, packed, flat, packed_update):
     count = count.at[flat].add(jnp.uint32(1), mode="drop")
     packed = packed.at[flat].max(packed_update, mode="drop")
     return count, packed
+
+
+def bin_chunk_depth(zbuf, flat, z):
+    """DEPTH strategy: a depth render needs only the exact f32 z-buffer
+    (src/lib.rs:875-899 reads nothing else), so one scatter-max suffices."""
+    return (zbuf.at[flat].max(z.astype(jnp.float32), mode="drop"),)

@@ -57,6 +57,12 @@ def state_planes(state: RenderState):
 
 def colorize_planes(config: Config, count, steps, zbuf):
     """Tone-map planes to (H, W, 4) uint16 RGBA."""
+    if config.render == RenderKind.GAS and count is None:
+        raise ValueError(
+            "this state was accumulated with BinStrategy.DEPTH (z-buffer only) "
+            "and cannot be colorized as a Gas render; use BinStrategy.PACKED/"
+            "EXACT if you need both render kinds from one state"
+        )
     if config.render == RenderKind.GAS:
         bk = config.colors.brightness
         rgb = palette_lookup(config.colors.palette.stops, steps)

@@ -50,6 +50,8 @@ def lanes_mesh(devices=None) -> Mesh:
 def merge_collective(planes: tuple, strategy: BinStrategy, axis: str) -> tuple:
     """Merge per-device canvases along ``axis`` (semantics of
     ``Runtime::merge``, src/lib.rs:708-738, as collectives)."""
+    if strategy == BinStrategy.DEPTH:
+        return (lax.pmax(planes[0], axis),)
     if strategy == BinStrategy.PACKED:
         count, packed = planes
         return lax.psum(count, axis), lax.pmax(packed, axis)
@@ -67,49 +69,15 @@ def merge_collective(planes: tuple, strategy: BinStrategy, axis: str) -> tuple:
 
 
 def _local_render_fn(config: Config, strategy: BinStrategy, lanes: int, nchunks: int, axis: str):
-    """Build the per-device render body (runs inside ``shard_map``)."""
-    from ..render import _step_fn, plan_schedule
-    from ..ops import binning
-    from ..ops.projection import camera_params
+    """Build the per-device render body (runs inside ``shard_map``): a plain
+    single-canvas render with a device-unique key, merged collectively."""
+    from ..render import _canvas_body
 
-    _, chunk_steps, _ = plan_schedule(config)
-    cam = camera_params(config.view, 0.0, config.width, config.height)
-    dt = jnp.dtype(config.dtype)
-    step = _step_fn(config, cam, strategy)
-    npix = config.width * config.height
+    canvas = _canvas_body(config, strategy, lanes, nchunks)
 
     def body(key, cos_v, sin_v):
-        from ..render import _reseed_dead_lanes
-
         key = jax.random.fold_in(key, lax.axis_index(axis))
-        p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
-        cur = lax.fori_loop(0, config.warmup, lambda i, p: config.attractor.step(p), p0)
-        prev = cur
-        age = jnp.zeros((lanes,), jnp.int32)
-        rkey = jax.random.fold_in(key, 0x5EED)
-
-        count = jnp.zeros((npix,), jnp.uint32)
-        if strategy == BinStrategy.PACKED:
-            acc = (count, jnp.zeros((npix,), jnp.uint32))
-        else:
-            acc = (count, jnp.zeros((npix,), jnp.float32), jnp.full((npix,), -1.0, jnp.float32))
-
-        def chunk(carry, _):
-            planes, cur, prev, age, rkey = carry
-            if config.reseed_lanes:
-                rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
-            (cur, prev, age, _, _), emitted = lax.scan(
-                step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps
-            )
-            emitted = tuple(e.reshape(-1) for e in emitted)
-            if strategy == BinStrategy.PACKED:
-                planes = binning.bin_chunk_packed(*planes, *emitted)
-            else:
-                planes = binning.bin_chunk_exact(*planes, *emitted)
-            return (planes, cur, prev, age, rkey), None
-
-        (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
-        return merge_collective(acc, strategy, axis)
+        return merge_collective(canvas(key, cos_v, sin_v), strategy, axis)
 
     return body
 
@@ -143,9 +111,15 @@ def render_sharded(config: Config, devices=None, key=None) -> RenderState:
         )
     )
     planes = fn(key, cos_v, sin_v)
-    shape = (config.height, config.width)
+    return planes_to_state(planes, strategy, (config.height, config.width))
+
+
+def planes_to_state(planes, strategy: BinStrategy, shape) -> RenderState:
+    """Reassemble a RenderState from flat accumulator planes."""
     if strategy == BinStrategy.PACKED:
         return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
+    if strategy == BinStrategy.DEPTH:
+        return RenderState(zbuf=planes[0].reshape(shape))
     return RenderState(
         count=planes[0].reshape(shape),
         steps=planes[1].reshape(shape),
@@ -200,19 +174,8 @@ def render_sequence_sharded(
 
         def one(cs):
             planes = body(key, cs[0], cs[1])
-            return colorize_planes(config, *state_planes(RenderState(*_as_state(planes))))
-
-        def _as_state(planes):
-            if strategy == BinStrategy.PACKED:
-                shape = (config.height, config.width)
-                return (planes[0].reshape(shape), None, None, planes[1].reshape(shape))
-            shape = (config.height, config.width)
-            return (
-                planes[0].reshape(shape),
-                planes[1].reshape(shape),
-                planes[2].reshape(shape),
-                None,
-            )
+            st = planes_to_state(planes, strategy, (config.height, config.width))
+            return colorize_planes(config, *state_planes(st))
 
         return jax.vmap(one)(jnp.stack([cos_f, sin_f], axis=1))
 

@@ -98,6 +98,8 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
         # previous point advances even when out of bounds (src/lib.rs:789-795)
         if strategy == BinStrategy.PACKED:
             emitted = (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
+        elif strategy == BinStrategy.DEPTH:
+            emitted = (flat, z2.astype(jnp.float32))
         else:
             emitted = (flat, z2.astype(jnp.float32), val.astype(jnp.float32))
         return (new, new, age, cos_v, sin_v), emitted
@@ -165,6 +167,8 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
         emitted = tuple(e.reshape(-1) for e in emitted)
         if strategy == BinStrategy.PACKED:
             planes = binning.bin_chunk_packed(*planes, *emitted)
+        elif strategy == BinStrategy.DEPTH:
+            planes = binning.bin_chunk_depth(*planes, *emitted)
         else:
             planes = binning.bin_chunk_exact(*planes, *emitted)
         return (planes, cur, prev, age, rkey, cos_v, sin_v), None
@@ -238,7 +242,7 @@ def render(
     age = jnp.zeros((cur.shape[0],), jnp.int32)
     rkey = jax.random.fold_in(base_key, 0x5EED)
 
-    shape = state.count.shape
+    shape = state.shape
     done = 0
 
     def dispatch(n, planes, cur, prev, age, rkey):
@@ -247,6 +251,8 @@ def render(
 
     if strategy == BinStrategy.PACKED:
         planes = (state.count.reshape(-1), state.packed.reshape(-1))
+    elif strategy == BinStrategy.DEPTH:
+        planes = (state.zbuf.reshape(-1),)
     else:
         planes = (state.count.reshape(-1), state.steps.reshape(-1), state.zbuf.reshape(-1))
 
@@ -268,6 +274,8 @@ def render(
 
     if strategy == BinStrategy.PACKED:
         return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
+    if strategy == BinStrategy.DEPTH:
+        return RenderState(zbuf=planes[0].reshape(shape))
     return RenderState(
         count=planes[0].reshape(shape),
         steps=planes[1].reshape(shape),
@@ -321,6 +329,106 @@ def render_parallel(config: Config, key=None, *, devices=None) -> np.ndarray:
 
     state = render_sharded(config, devices, seed_key(config, key))
     return np.asarray(jax.device_get(colorize(config, state)))
+
+
+def _canvas_body(config: Config, strategy: BinStrategy, lanes: int, nchunks: int):
+    """One full single-canvas render as a pure function
+    ``(key, cos, sin) -> accumulator planes`` — the unit that gets vmapped
+    over frames and shard_mapped over devices."""
+    from .ops.projection import camera_params
+
+    chunk_steps = config.resolved_chunk_steps()
+    cam = camera_params(config.view, 0.0, config.width, config.height)
+    dt = _dtype(config)
+    step = _step_fn(config, cam, strategy)
+    npix = config.width * config.height
+
+    def body(key, cos_v, sin_v):
+        p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
+        cur = lax.fori_loop(0, config.warmup, lambda i, p: config.attractor.step(p), p0)
+        prev = cur
+        age = jnp.zeros((lanes,), jnp.int32)
+        rkey = jax.random.fold_in(key, 0x5EED)
+
+        if strategy == BinStrategy.DEPTH:
+            acc = (jnp.full((npix,), -1.0, jnp.float32),)
+        elif strategy == BinStrategy.PACKED:
+            acc = (jnp.zeros((npix,), jnp.uint32), jnp.zeros((npix,), jnp.uint32))
+        else:
+            acc = (
+                jnp.zeros((npix,), jnp.uint32),
+                jnp.zeros((npix,), jnp.float32),
+                jnp.full((npix,), -1.0, jnp.float32),
+            )
+
+        def chunk(carry, _):
+            planes, cur, prev, age, rkey = carry
+            if config.reseed_lanes:
+                rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
+            (cur, prev, age, _, _), emitted = lax.scan(
+                step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps
+            )
+            emitted = tuple(e.reshape(-1) for e in emitted)
+            from .ops import binning as _b
+
+            if strategy == BinStrategy.PACKED:
+                planes = _b.bin_chunk_packed(*planes, *emitted)
+            elif strategy == BinStrategy.DEPTH:
+                planes = _b.bin_chunk_depth(*planes, *emitted)
+            else:
+                planes = _b.bin_chunk_exact(*planes, *emitted)
+            return (planes, cur, prev, age, rkey), None
+
+        (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
+        return acc
+
+    return body
+
+
+def render_sequence_batched(
+    config: Config,
+    angles_deg,
+    key=None,
+    frames_per_batch: Optional[int] = None,
+) -> np.ndarray:
+    """Render a batch of camera angles as one vmapped device program.
+
+    The frame axis becomes a vmap axis over the whole render+colorize
+    pipeline (BASELINE.json configs[4]): all frames' trajectories advance in
+    lock-step and the per-frame canvases live on device simultaneously, so
+    ``frames_per_batch`` bounds memory (default: ~2 GB of canvases).
+    Returns (F, H, W, 4) uint16 frames ordered like ``angles_deg``.
+    """
+    from .ops.colorize import colorize_planes, state_planes
+    from .parallel.mesh import planes_to_state
+
+    strategy = config.resolved_bin_strategy(jax.default_backend())
+    lanes, chunk_steps, nchunks = plan_schedule(config)
+    body = _canvas_body(config, strategy, lanes, nchunks)
+    shape = (config.height, config.width)
+
+    def one(k, cos_v, sin_v):
+        st = planes_to_state(body(k, cos_v, sin_v), strategy, shape)
+        return colorize_planes(config, *state_planes(st))
+
+    fn = jax.jit(jax.vmap(one))
+
+    if frames_per_batch is None:
+        npix = config.width * config.height
+        state_bytes = npix * (12 if strategy == BinStrategy.EXACT else 8) + npix * 8
+        frames_per_batch = max(1, int(2e9 / max(1, state_bytes)))
+
+    angles = np.asarray(list(angles_deg), np.float64)
+    rad = np.radians(angles)
+    dt = _dtype(config)
+    base = seed_key(config, key)
+    out = []
+    for lo in range(0, len(angles), frames_per_batch):
+        hi = min(lo + frames_per_batch, len(angles))
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(lo, hi))
+        imgs = fn(keys, jnp.asarray(np.cos(rad[lo:hi]), dt), jnp.asarray(np.sin(rad[lo:hi]), dt))
+        out.append(np.asarray(jax.device_get(imgs)))
+    return np.concatenate(out, axis=0)
 
 
 def render_sequence(

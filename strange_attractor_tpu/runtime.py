@@ -31,18 +31,29 @@ from .config import BinStrategy, Config
 class RenderState(NamedTuple):
     """Accumulated render data for one canvas.
 
-    ``count`` is always present. EXACT states carry ``steps``+``zbuf``;
-    PACKED states carry ``packed``. All planes are (H, W).
+    EXACT states carry ``count``+``steps``+``zbuf``; PACKED states carry
+    ``count``+``packed``; DEPTH states carry only ``zbuf``. All planes (H, W).
     """
 
-    count: "jax.Array"  # uint32
+    count: Optional["jax.Array"] = None  # uint32
     steps: Optional["jax.Array"] = None  # float32 (EXACT)
-    zbuf: Optional["jax.Array"] = None  # float32, -1.0 sentinel (EXACT)
+    zbuf: Optional["jax.Array"] = None  # float32, -1.0 sentinel (EXACT/DEPTH)
     packed: Optional["jax.Array"] = None  # uint32 (PACKED)
 
     @property
     def strategy(self) -> BinStrategy:
-        return BinStrategy.PACKED if self.packed is not None else BinStrategy.EXACT
+        if self.packed is not None:
+            return BinStrategy.PACKED
+        if self.count is None:
+            return BinStrategy.DEPTH
+        return BinStrategy.EXACT
+
+    @property
+    def shape(self) -> tuple:
+        for plane in self:
+            if plane is not None:
+                return plane.shape
+        raise ValueError("empty RenderState")
 
     @classmethod
     def create(cls, config: Config, strategy: Optional[BinStrategy] = None) -> "RenderState":
@@ -54,6 +65,8 @@ class RenderState(NamedTuple):
         if strategy is None or strategy == BinStrategy.AUTO:
             strategy = config.resolved_bin_strategy(jax.default_backend())
         shape = (config.height, config.width)
+        if strategy == BinStrategy.DEPTH:
+            return cls(zbuf=jnp.full(shape, -1.0, jnp.float32))
         count = jnp.zeros(shape, jnp.uint32)
         if strategy == BinStrategy.PACKED:
             return cls(count=count, packed=jnp.zeros(shape, jnp.uint32))
@@ -68,7 +81,7 @@ class RenderState(NamedTuple):
         import jax.numpy as jnp
 
         return RenderState(
-            count=jnp.zeros_like(self.count),
+            count=None if self.count is None else jnp.zeros_like(self.count),
             steps=None if self.steps is None else jnp.zeros_like(self.steps),
             zbuf=None if self.zbuf is None else jnp.full_like(self.zbuf, -1.0),
             packed=None if self.packed is None else jnp.zeros_like(self.packed),
@@ -84,8 +97,10 @@ def merge(a: RenderState, b: RenderState) -> RenderState:
 
     if a.strategy != b.strategy:
         raise ValueError("cannot merge states with different bin strategies")
-    if a.count.shape != b.count.shape:
-        raise ValueError(f"state shapes differ: {a.count.shape} vs {b.count.shape}")
+    if a.shape != b.shape:
+        raise ValueError(f"state shapes differ: {a.shape} vs {b.shape}")
+    if a.strategy == BinStrategy.DEPTH:
+        return RenderState(zbuf=jnp.maximum(a.zbuf, b.zbuf))
     count = a.count + b.count
     if a.packed is not None:
         return RenderState(count=count, packed=jnp.maximum(a.packed, b.packed))

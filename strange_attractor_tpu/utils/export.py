@@ -47,26 +47,26 @@ def png_bytes(arr: np.ndarray) -> bytes:
     color_type = 6 if ch == 4 else 2
 
     rows = raw.reshape(h, -1).view(np.uint8).reshape(h, -1)
-    # 'Up' filter generally compresses smooth renders well; row 0 uses None.
-    filtered = bytearray()
-    prev = np.zeros(rows.shape[1], np.uint8)
-    for y in range(h):
-        row = rows[y]
-        up = (row - prev).astype(np.uint8)
-        if int(np.count_nonzero(up)) < int(np.count_nonzero(row)):
-            filtered.append(2)  # Up
-            filtered.extend(up.tobytes())
-        else:
-            filtered.append(0)  # None
-            filtered.extend(row.tobytes())
-        prev = row
+    # 'Up' filter compresses smooth renders well; pick None/Up per row by
+    # nonzero count, fully vectorized (row 0 has no predecessor -> None).
+    up = rows.copy()
+    up[1:] -= rows[:-1]
+    use_up = np.count_nonzero(up, axis=1) < np.count_nonzero(rows, axis=1)
+    use_up[0] = False
+    stride = rows.shape[1]
+    filtered = np.empty((h, 1 + stride), np.uint8)
+    filtered[:, 0] = np.where(use_up, 2, 0)
+    filtered[:, 1:] = np.where(use_up[:, None], up, rows)
+    filtered = filtered.tobytes()
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         out = struct.pack(">I", len(payload)) + tag + payload
         return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
-    idat = zlib.compress(bytes(filtered), 6)
+    from .native import zlib_compress_parallel
+
+    idat = zlib_compress_parallel(filtered, 6)
     return b"".join(
         [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr), chunk(b"IDAT", idat), chunk(b"IEND", b"")]
     )

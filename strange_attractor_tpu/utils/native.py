@@ -1,0 +1,89 @@
+"""Build + load the native C++ helpers (parallel deflate for PNG export).
+
+The shared library is compiled on demand from ``native/fastdeflate.cpp`` with
+the system ``g++`` into a per-user cache directory, then loaded with ctypes.
+Everything degrades gracefully: if the toolchain or zlib headers are missing,
+callers fall back to the pure-Python writers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+import zlib
+from pathlib import Path
+from typing import Optional
+
+_SOURCE = Path(__file__).resolve().parent.parent.parent / "native" / "fastdeflate.cpp"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _cache_dir() -> Path:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(os.path.expanduser("~"), ".cache")
+    d = Path(base) / "strange_attractor_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if not _SOURCE.exists():
+        return None
+    tag = hashlib.sha256(_SOURCE.read_bytes()).hexdigest()[:16]
+    so = _cache_dir() / f"fastdeflate-{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".tmp.so")
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_SOURCE), "-o", str(tmp), "-lz", "-lpthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        os.replace(tmp, so)
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.fastdeflate_zlib.restype = ctypes.c_long
+    lib.fastdeflate_zlib.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if not _TRIED:
+            _LIB = _build()
+            _TRIED = True
+        return _LIB
+
+
+def zlib_compress_parallel(data: bytes, level: int = 6, threads: Optional[int] = None) -> bytes:
+    """Compress to a zlib stream using all cores; stdlib fallback.
+
+    Output is a standard zlib stream (decompressible by ``zlib.decompress``);
+    parallelism only changes how deflate blocks are segmented.
+    """
+    if threads is None:
+        threads = min(16, os.cpu_count() or 1)
+    lib = get_lib()
+    n = len(data)
+    # single-stream stdlib wins on 1 core or small payloads
+    if lib is None or n < (1 << 21) or threads < 2:
+        return zlib.compress(data, level)
+    cap = n + (n >> 9) + 64 + 16 * threads
+    out = ctypes.create_string_buffer(cap)
+    written = lib.fastdeflate_zlib(data, n, level, threads, out, cap)
+    if written <= 0:
+        return zlib.compress(data, level)
+    return out.raw[:written]

@@ -110,3 +110,11 @@ def test_bin_strategy_flag(tmp_path):
     out = tmp_path / "img"
     assert main(FAST + ["-o", str(out), "--bin-strategy", "exact"]) == 0
     assert main(FAST + ["-o", str(out), "--bin-strategy", "packed"]) == 0
+
+
+def test_sequence_batched_flag(tmp_path):
+    out = tmp_path / "anim"
+    assert main(FAST + ["-o", str(out), "sequence", "-s", "0", "-e", "3", "-d", "1",
+                        "--frames-per-batch", "2"]) == 0
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["anim0.png", "anim1.png", "anim2.png"]

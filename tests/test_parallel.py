@@ -111,3 +111,19 @@ def test_render_sequence_sharded(cpu_devices):
     assert frames.dtype == np.uint16
     # different angles produce different images
     assert not np.array_equal(frames[0], frames[1])
+
+
+def test_render_sequence_batched_single_device():
+    """Frame axis as a vmapped batch on one device (BASELINE configs[4])."""
+    from strange_attractor_tpu.render import render_sequence_batched
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=64, chunk_steps=32, seed=8,
+    )
+    frames = render_sequence_batched(cfg, [0.0, 90.0, 180.0, 270.0], frames_per_batch=3)
+    assert frames.shape == (4, 27, 48, 4) and frames.dtype == np.uint16
+    assert not np.array_equal(frames[0], frames[1])
+    # batching is just vectorization: same angle in different batch positions
+    # gives the same image for the same per-frame key stream
+    f2 = render_sequence_batched(cfg, [0.0, 90.0], frames_per_batch=2)
+    np.testing.assert_array_equal(f2[0], frames[0])

@@ -142,3 +142,25 @@ def test_reseed_lanes_recovers_escaped_orbits():
     va = np.asarray(st_off.count) > 1
     vb = np.asarray(st_on.count) > 0
     assert (va & vb).sum() / max(1, va.sum()) > 0.95
+
+
+def test_depth_strategy_matches_exact_zbuf():
+    """DEPTH strategy (z-buffer-only accumulation) produces the identical
+    depth image to the EXACT strategy on the same trajectories."""
+    from strange_attractor_tpu.config import RenderKind
+
+    cfg = presets.poisson_saturne(
+        width=96, height=54, iterations=100_000, lanes=128, chunk_steps=125,
+        seed=11, render=RenderKind.DEPTH,
+    )
+    key = seed_key(cfg)
+    st_d = render(cfg.replace(bin_strategy=BinStrategy.DEPTH), key=key)
+    st_e = render(cfg.replace(bin_strategy=BinStrategy.EXACT), key=key)
+    assert st_d.strategy == BinStrategy.DEPTH and st_d.count is None
+    np.testing.assert_array_equal(np.asarray(st_d.zbuf), np.asarray(st_e.zbuf))
+    img_d = np.asarray(jax.device_get(colorize(cfg, st_d)))
+    img_e = np.asarray(jax.device_get(colorize(cfg, st_e)))
+    np.testing.assert_array_equal(img_d, img_e)
+    # a DEPTH state cannot be colorized as Gas
+    with pytest.raises(ValueError, match="DEPTH"):
+        colorize(cfg.replace(render=RenderKind.GAS), st_d)
