@@ -35,7 +35,15 @@ _KERNEL_CACHE: dict = {}
 
 
 def _dtype(config: Config):
-    return jnp.dtype(config.dtype)
+    dt = jnp.dtype(config.dtype)
+    if dt == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "Config.dtype='float64' needs jax_enable_x64 "
+            "(set JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', True)); "
+            "note f64 is emulated and slow on TPU — the f32 default renders the "
+            "same invariant measure (see README precision note)"
+        )
+    return dt
 
 
 def seed_key(config: Config, key=None):

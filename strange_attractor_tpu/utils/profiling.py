@@ -1,0 +1,81 @@
+"""Profiling & observability helpers.
+
+The reference's observability story is a handful of ``println!`` calls gated
+by ``Config::silent`` (SURVEY.md §5). Here, in addition to those prints, a
+render can be wrapped in :class:`RenderProfile` for phase timings and an
+iterations/sec/chip figure (the BASELINE metric), and ``trace()`` captures a
+``jax.profiler`` trace for xprof/tensorboard.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class RenderProfile:
+    """Collects phase wall-times and derived rates for one render.
+
+    Usage::
+
+        prof = RenderProfile(iterations=executed)
+        with prof.phase("render"):
+            state = render(config, ...)
+            sync(state)
+        with prof.phase("colorize"):
+            image = fetch(colorize(config, state))
+        print(prof.summary())
+    """
+
+    iterations: int = 0
+    phases: dict = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield self
+        finally:
+            self.phases[name] = self.phases.get(name, 0.0) + time.perf_counter() - t0
+
+    @property
+    def total_seconds(self) -> float:
+        return sum(self.phases.values())
+
+    @property
+    def iters_per_sec(self) -> Optional[float]:
+        t = self.phases.get("render", self.total_seconds)
+        if not self.iterations or t <= 0:
+            return None
+        return self.iterations / t
+
+    def summary(self) -> str:
+        parts = [f"{k}={v:.3f}s" for k, v in self.phases.items()]
+        rate = self.iters_per_sec
+        if rate is not None:
+            parts.append(f"rate={rate:.3e} iters/s/chip")
+        return " ".join(parts)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace (view with xprof/tensorboard)."""
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
+
+
+def hard_sync(x) -> None:
+    """Block until ``x`` is computed.
+
+    ``jax.block_until_ready`` can return early on tunneled dev platforms;
+    fetching one scalar to the host cannot.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    jax.device_get(leaf.ravel()[0])

@@ -52,3 +52,26 @@ def test_frame_sequence_names_unique():
     names = [p.name for _, p in seq]
     assert len(names) == len(set(names)) == 5
     assert names[0] == "att0.png"
+
+
+def test_render_profile():
+    from strange_attractor_tpu.utils.profiling import RenderProfile
+    import time as _t
+
+    prof = RenderProfile(iterations=1000)
+    with prof.phase("render"):
+        _t.sleep(0.01)
+    with prof.phase("colorize"):
+        _t.sleep(0.001)
+    assert prof.iters_per_sec is not None and prof.iters_per_sec < 100_000
+    s = prof.summary()
+    assert "render=" in s and "rate=" in s
+
+
+def test_f64_requires_x64():
+    import pytest
+    from strange_attractor_tpu import presets, render
+
+    cfg = presets.poisson_saturne(iterations=1000, width=8, height=8, dtype="float64")
+    with pytest.raises(ValueError, match="x64"):
+        render(cfg)
