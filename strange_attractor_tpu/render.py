@@ -220,8 +220,13 @@ def render(
     """Accumulate ``config.iterations`` map iterations into ``state``.
 
     Like the reference's ``render`` (src/lib.rs:747): call repeatedly on the
-    same state for progressive refinement; each call reseeds its trajectories.
-    ``angle`` (radians) overrides ``config.angle`` without recompiling.
+    returned state for progressive refinement; each call reseeds its
+    trajectories. ``angle`` (radians) overrides ``config.angle`` without
+    recompiling.
+
+    The input ``state``'s buffers are donated to the device computation
+    (matching the reference's ``&mut Runtime`` semantics) — use the returned
+    state, not the argument, afterwards.
     """
     strategy = None if state is None else state.strategy
     if strategy is None:
