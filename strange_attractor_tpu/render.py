@@ -32,6 +32,10 @@ from .ops.projection import camera_params, project, rotate_point
 from .runtime import RenderState
 
 _KERNEL_CACHE: dict = {}
+# nonce for seeded progressive calls: 1, 2, ... (0 is the initial render)
+import itertools as _itertools
+
+_PROGRESSIVE_NONCE = _itertools.count(1)
 
 
 def _dtype(config: Config):
@@ -221,13 +225,15 @@ def render(
 
     Like the reference's ``render`` (src/lib.rs:747): call repeatedly on the
     returned state for progressive refinement; each call reseeds its
-    trajectories. ``angle`` (radians) overrides ``config.angle`` without
-    recompiling.
+    trajectories (for seeded configs, successive progressive calls fold a
+    per-call nonce into the key so refinement adds new samples — the
+    reference draws fresh OS entropy per call, src/lib.rs:656,748). ``angle``
+    (radians) overrides ``config.angle`` without recompiling.
 
-    The input ``state``'s buffers are donated to the device computation
-    (matching the reference's ``&mut Runtime`` semantics) — use the returned
-    state, not the argument, afterwards.
+    The input ``state`` remains valid (only internal working copies are
+    donated between chunk dispatches); prefer the returned state.
     """
+    progressive = state is not None
     strategy = None if state is None else state.strategy
     if strategy is None:
         strategy = config.resolved_bin_strategy(jax.default_backend())
@@ -235,6 +241,9 @@ def render(
         state = RenderState.create(config, strategy)
     if config.iterations < 1:
         return state
+    if key is None and progressive and config.seed is not None:
+        # distinct trajectories per progressive call, deterministic in call order
+        key = jax.random.fold_in(seed_key(config), next(_PROGRESSIVE_NONCE))
 
     lanes, chunk_steps, nchunks = plan_schedule(config)
     # split chunks over a few dispatches so long renders report progress;

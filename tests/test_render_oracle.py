@@ -164,3 +164,19 @@ def test_depth_strategy_matches_exact_zbuf():
     # a DEPTH state cannot be colorized as Gas
     with pytest.raises(ValueError, match="DEPTH"):
         colorize(cfg.replace(render=RenderKind.GAS), st_d)
+
+
+def test_progressive_refinement_adds_new_samples_with_seed():
+    """Seeded configs must not replay identical trajectories on progressive
+    calls (render folds a per-call nonce into the key)."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=50_000, lanes=64, seed=123,
+        bin_strategy=BinStrategy.EXACT,
+    )
+    s1 = render(cfg)
+    s2 = render(cfg, s1)
+    c1 = np.asarray(s1.count).astype(np.int64)
+    c2 = np.asarray(s2.count).astype(np.int64)
+    assert c2.sum() == 2 * c1.sum()
+    # a pure replay would give exactly c2 == 2*c1 everywhere
+    assert not np.array_equal(c2, 2 * c1)
