@@ -44,7 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of iterations")
     p.add_argument("-w", "--width", type=int, default=1920, help="Width of image")
     p.add_argument("-h", "--height", type=int, default=1080, help="Height of image")
-    p.add_argument("-s", "--scale", type=float, default=1.0, help="Image zoom")
+    p.add_argument("-s", "--scale", type=float, default=None,
+                   help="Image zoom (default: the preset's own scale). The reference "
+                        "CLI always overrode the preset with 1.0 (main.rs:237/437), "
+                        "silently stomping solar-sail's 1.7 — fixed here.")
     p.add_argument("-p", "--preset", choices=list(presets.PRESET_NAMES),
                    default="poisson-saturne", help="Which built-in attractor to render")
     p.add_argument("--pam", "--pnm", "--pbm", dest="pam", action="store_true",
@@ -149,7 +152,8 @@ def config_from_args(args):
         seed=args.seed,
         reseed_lanes=args.reseed_lanes,
     )
-    config = config.replace(view=config.view.replace(scale=args.scale))
+    if args.scale is not None:
+        config = config.replace(view=config.view.replace(scale=args.scale))
     return config
 
 

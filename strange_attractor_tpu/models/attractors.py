@@ -86,3 +86,49 @@ class PolynomialSprott2Degree:
 
     def fingerprint(self) -> bytes:
         return b"sprott2:" + np.asarray(self.x + self.y + self.z, np.float64).tobytes()
+
+
+@dataclasses.dataclass(frozen=True)
+class Lorenz:
+    """Lorenz system integrated with a fixed-step RK4 — a continuous-time
+    attractor demonstrating that the :class:`Attractor` protocol is not tied
+    to polynomial maps (the reference's trait makes the same point,
+    src/lib.rs:562-564: "You can always implement Attractor yourself!").
+
+    One ``step`` = one RK4 step of size ``dt`` of
+    dx=sigma(y-x), dy=x(rho-z)-y, dz=xy-beta*z.
+    """
+
+    sigma: float = 10.0
+    rho: float = 28.0
+    beta: float = 8.0 / 3.0
+    dt: float = 0.005
+
+    def _deriv(self, p, xp):
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        dt_ = p.dtype.type if xp is np else (lambda v: v)
+        dx = self.sigma * (y - x)
+        dy = x * (self.rho - z) - y
+        dz = x * y - self.beta * z
+        return xp.stack([dx, dy, dz], axis=-1)
+
+    def _rk4(self, p, xp):
+        h = p.dtype.type(self.dt) if xp is np else self.dt
+        k1 = self._deriv(p, xp)
+        k2 = self._deriv(p + 0.5 * h * k1, xp)
+        k3 = self._deriv(p + 0.5 * h * k2, xp)
+        k4 = self._deriv(p + h * k3, xp)
+        return p + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    def step(self, p):
+        import jax.numpy as jnp
+
+        return self._rk4(p, jnp).astype(p.dtype)
+
+    def step_numpy(self, p: np.ndarray) -> np.ndarray:
+        return self._rk4(p, np).astype(p.dtype)
+
+    def fingerprint(self) -> bytes:
+        return b"lorenz:" + np.asarray(
+            [self.sigma, self.rho, self.beta, self.dt], np.float64
+        ).tobytes()

@@ -7,12 +7,14 @@ solar-sail (src/lib.rs:355-387).
 
 from __future__ import annotations
 
+import math
+
 from ..config import Config, View
 from ..ops.projection import EulerAxisRotation
-from .attractors import PolynomialSprott2Degree
+from .attractors import Lorenz, PolynomialSprott2Degree
 from .transforms import AdjustedVelocity, poisson_saturne_transform
 
-PRESET_NAMES = ("poisson-saturne", "solar-sail")
+PRESET_NAMES = ("poisson-saturne", "solar-sail", "lorenz")
 
 
 def poisson_saturne(**overrides) -> Config:
@@ -120,10 +122,32 @@ def solar_sail(**overrides) -> Config:
     )
 
 
+def lorenz(**overrides) -> Config:
+    """Classic Lorenz butterfly (continuous-time; NOT in the reference —
+    included to demonstrate the open Attractor protocol).
+
+    Camera: rotate about x by -90deg so the z axis maps to screen-up, then
+    frame x in [-20, 20], z in [0, 50] with scale 0.02.
+    """
+    view = View(
+        center_camera=(0.0, 0.0, -24.0),
+        rotation=EulerAxisRotation(axis=(1.0, 0.0, 0.0), rotation=-math.pi / 2),
+        scale=0.02,
+    )
+    return Config(
+        attractor=Lorenz(),
+        view=view,
+        color_transform=AdjustedVelocity(offset=-0.05, factor=3.0),
+        **overrides,
+    )
+
+
 def by_name(name: str, **overrides) -> Config:
     """Look up a preset by CLI name (reference: src/bin/main.rs:400-408)."""
     if name == "poisson-saturne":
         return poisson_saturne(**overrides)
     if name == "solar-sail":
         return solar_sail(**overrides)
+    if name == "lorenz":
+        return lorenz(**overrides)
     raise KeyError(f"unknown preset {name!r}; choose from {PRESET_NAMES}")

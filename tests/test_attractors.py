@@ -72,3 +72,38 @@ def test_fingerprints_distinguish():
     assert a.fingerprint() != b.fingerprint()
     assert a.fingerprint() == presets.poisson_saturne().fingerprint()
     assert a.replace(angle=0.3).fingerprint() != a.fingerprint()
+
+
+def test_lorenz_rk4_matches_numpy():
+    from strange_attractor_tpu.models.attractors import Lorenz
+
+    a = Lorenz()
+    p = np.array([[0.05, 0.03, 0.08], [1.0, 1.0, 1.0]], np.float32)
+    got = np.asarray(a.step(jnp.asarray(p)))
+    want = a.step_numpy(p)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+
+def test_lorenz_orbit_bounded_on_attractor():
+    from strange_attractor_tpu.models.attractors import Lorenz
+
+    a = Lorenz()
+    p = np.array([0.05, 0.03, 0.08], np.float32)
+    for _ in range(3000):
+        p = a.step_numpy(p)
+    assert np.all(np.isfinite(p)) and np.abs(p).max() < 60
+
+
+def test_lorenz_preset_renders():
+    import jax
+    from strange_attractor_tpu import colorize, render
+
+    cfg = presets.by_name("lorenz", iterations=100_000, width=64, height=48,
+                          seed=1, lanes=64)
+    st = render(cfg)
+    c = np.asarray(st.count)
+    assert c.sum() > 50_000  # most points land in frame
+    # butterfly occupies the middle of the frame, not the borders
+    assert c[:2, :].sum() + c[-2:, :].sum() < 0.05 * c.sum()
+    img = np.asarray(jax.device_get(colorize(cfg, st)))
+    assert img[..., :3].max() > 0

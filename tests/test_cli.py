@@ -18,7 +18,7 @@ def test_defaults_match_reference():
     args = build_parser().parse_args([])
     assert args.iterations == 10_000_000
     assert args.width == 1920 and args.height == 1080
-    assert args.scale == 1.0 and args.preset == "poisson-saturne"
+    assert args.scale is None and args.preset == "poisson-saturne"  # None = keep preset scale
     assert args.jobs_per_thread == 12 and args.angle == 0.0
     assert args.brightness_offset == -0.15
     assert args.name == "attractor"
@@ -118,3 +118,15 @@ def test_sequence_batched_flag(tmp_path):
                         "--frames-per-batch", "2"]) == 0
     names = sorted(p.name for p in tmp_path.iterdir())
     assert names == ["anim0.png", "anim1.png", "anim2.png"]
+
+
+def test_preset_scale_preserved_unless_overridden():
+    from strange_attractor_tpu.models import presets as _presets
+
+    args = build_parser().parse_args(["-p", "solar-sail"])
+    cfg = config_from_args(args)
+    assert cfg.view.scale == 1.7  # preset value survives (reference stomped it)
+    args2 = build_parser().parse_args(["-p", "solar-sail", "-s", "2.5"])
+    assert config_from_args(args2).view.scale == 2.5
+    args3 = build_parser().parse_args(["-p", "lorenz"])
+    assert config_from_args(args3).view.scale == 0.02
