@@ -119,3 +119,25 @@ def test_write_image_driver(img16, tmp_path):
     np.testing.assert_array_equal(got, img16)
     with pytest.raises(ValueError):
         write_image(tmp_path / "x", img16, fmt="tiff")
+
+
+def test_native_parallel_deflate_roundtrip():
+    """Native lib (if buildable here) must produce valid zlib streams; the
+    call must degrade to stdlib when unavailable."""
+    import zlib
+
+    from strange_attractor_tpu.utils.native import zlib_compress_parallel
+
+    data = bytes(range(256)) * 20000  # ~5MB, forces the large-payload path
+    out = zlib_compress_parallel(data, level=6, threads=4)
+    assert zlib.decompress(out) == data
+    out1 = zlib_compress_parallel(data, level=6, threads=1)  # stdlib path
+    assert zlib.decompress(out1) == data
+
+
+def test_completion_zsh():
+    from strange_attractor_tpu.cli import build_parser
+    from strange_attractor_tpu.utils.completion import completion_script
+
+    s = completion_script("zsh", build_parser())
+    assert "#compdef" in s and "--iterations" in s
