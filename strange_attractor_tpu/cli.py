@@ -60,8 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_true", help="Run on a single device")
     p.add_argument("-q", "--silent", action="store_true", help="Decrease verbosity")
     p.add_argument("-j", "--jobs-per-thread", dest="jobs_per_thread", type=int, default=12,
-                   help="Compatibility knob from the reference CLI: scales how many "
-                        "scan chunks each dispatch covers. Rarely needed on TPU.")
+                   help="Accepted for reference-CLI compatibility; TPU work "
+                        "scheduling is static (SPMD lanes), so this has no effect. "
+                        "Use --lanes/--chunk-steps to tune instead.")
     p.add_argument("-a", "--angle", type=float, default=0.0,
                    help="Angle to view attractor from (degrees)")
     p.add_argument("-b", "--brightness-offset", dest="brightness_offset", type=float,

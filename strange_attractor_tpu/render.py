@@ -239,6 +239,12 @@ def render(
         strategy = config.resolved_bin_strategy(jax.default_backend())
     if state is None:
         state = RenderState.create(config, strategy)
+    elif state.shape != (config.height, config.width):
+        raise ValueError(
+            f"state canvas {state.shape} does not match config "
+            f"{(config.height, config.width)}; create a fresh state "
+            "(the reference's Runtime is likewise sized per config, src/lib.rs:660-675)"
+        )
     if config.iterations < 1:
         return state
     if key is None and progressive and config.seed is not None:

@@ -180,3 +180,10 @@ def test_progressive_refinement_adds_new_samples_with_seed():
     assert c2.sum() == 2 * c1.sum()
     # a pure replay would give exactly c2 == 2*c1 everywhere
     assert not np.array_equal(c2, 2 * c1)
+
+
+def test_state_shape_mismatch_raises():
+    cfg = presets.poisson_saturne(iterations=1000, width=32, height=18, lanes=32)
+    st = render(cfg)
+    with pytest.raises(ValueError, match="canvas"):
+        render(cfg.replace(width=64, height=36), st)
