@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume accumulation from a checkpointed state (.npz)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Write a jax.profiler trace to DIR")
+    p.add_argument("--preview-every", dest="preview_every", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="During long renders, write a '<name>.preview' image at this "
+                        "interval showing the ever-improving accumulation")
 
     sub = p.add_subparsers(dest="subcommand")
     seq = sub.add_parser(
@@ -249,13 +253,32 @@ def _render_one(args, config, render_mod, angle_rad):
 
 def _render_stateful(args, config, render_mod, state):
     import jax
+    import time
 
     if state is None and not args.single_device and len(jax.devices()) > 1:
         from .parallel.mesh import render_sharded
 
         state = render_sharded(config, key=None)
     else:
-        state = render_mod.render(config, state)
+        on_progress = None
+        if args.preview_every > 0:
+            from .utils.export import write_image
+
+            base = _output_base(args)
+            last = [time.perf_counter()]
+
+            def on_progress(done, total, partial):
+                now = time.perf_counter()
+                if now - last[0] < args.preview_every:
+                    return
+                last[0] = now
+                img = np.asarray(jax.device_get(render_mod.colorize(config, partial)))
+                fmt = "pam" if args.pam else "bmp" if args.bmp else "png"
+                write_image(base.parent / (base.name + ".preview"), img, fmt=fmt,
+                            transparent=args.transparent, eight_bit=args.eight_bit,
+                            silent=True)
+
+        state = render_mod.render(config, state, on_progress=on_progress)
     image = np.asarray(jax.device_get(render_mod.colorize(config, state)))
     return image, state
 

@@ -220,6 +220,7 @@ def render(
     key=None,
     *,
     angle: Optional[float] = None,
+    on_progress=None,
 ) -> RenderState:
     """Accumulate ``config.iterations`` map iterations into ``state``.
 
@@ -232,6 +233,11 @@ def render(
 
     The input ``state`` remains valid (only internal working copies are
     donated between chunk dispatches); prefer the returned state.
+
+    ``on_progress(done_chunks, total_chunks, partial_state)`` is invoked
+    after each dispatch group — the hook for progressive previews of the
+    ever-improving image (the reference documents the property at
+    src/lib.rs:742-744 but gives no way to observe it mid-render).
     """
     progressive = state is not None
     strategy = None if state is None else state.strategy
@@ -284,14 +290,30 @@ def render(
     else:
         planes = (state.count.reshape(-1), state.steps.reshape(-1), state.zbuf.reshape(-1))
 
+    def _partial_state():
+        if strategy == BinStrategy.PACKED:
+            return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
+        if strategy == BinStrategy.DEPTH:
+            return RenderState(zbuf=planes[0].reshape(shape))
+        return RenderState(
+            count=planes[0].reshape(shape),
+            steps=planes[1].reshape(shape),
+            zbuf=planes[2].reshape(shape),
+        )
+
     t0 = time.perf_counter()
     for _ in range(outer_full):
         planes, cur, prev, age, rkey = dispatch(inner, planes, cur, prev, age, rkey)
         done += inner
         if not config.silent:
             print(f"Iteration complete, {nchunks - done} left to go.")
+        if on_progress is not None:
+            on_progress(done, nchunks, _partial_state())
     for _ in range(rem):
         planes, cur, prev, age, rkey = dispatch(1, planes, cur, prev, age, rkey)
+        done += 1
+    if on_progress is not None and rem:
+        on_progress(done, nchunks, _partial_state())
     if not config.silent:
         executed = lanes * chunk_steps * nchunks
         dtime = time.perf_counter() - t0
@@ -300,15 +322,7 @@ def render(
             f"({executed / max(dtime, 1e-9):.3e} iters/s)."
         )
 
-    if strategy == BinStrategy.PACKED:
-        return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
-    if strategy == BinStrategy.DEPTH:
-        return RenderState(zbuf=planes[0].reshape(shape))
-    return RenderState(
-        count=planes[0].reshape(shape),
-        steps=planes[1].reshape(shape),
-        zbuf=planes[2].reshape(shape),
-    )
+    return _partial_state()
 
 
 _COLORIZE_CACHE: dict = {}

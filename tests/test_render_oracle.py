@@ -187,3 +187,19 @@ def test_state_shape_mismatch_raises():
     st = render(cfg)
     with pytest.raises(ValueError, match="canvas"):
         render(cfg.replace(width=64, height=36), st)
+
+
+def test_on_progress_callback():
+    calls = []
+    cfg = presets.poisson_saturne(
+        width=32, height=18, iterations=32 * 64 * 40, lanes=32, chunk_steps=64,
+        seed=2,
+    )
+    st = render(cfg, on_progress=lambda done, total, s: calls.append((done, total, int(s.count.sum()))))
+    assert len(calls) >= 1
+    dones = [c[0] for c in calls]
+    assert dones == sorted(dones) and calls[-1][0] == calls[-1][1]
+    # accumulation is monotone across progress reports
+    sums = [c[2] for c in calls]
+    assert sums == sorted(sums)
+    assert int(st.count.sum()) == sums[-1]
