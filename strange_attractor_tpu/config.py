@@ -192,6 +192,14 @@ class Config:
     # (~40% of solar-sail seeds escape even in its f64 math).
     reseed_lanes: bool = False
 
+    def __post_init__(self):
+        if self.width < 1 or self.height < 1:
+            raise ValueError(f"image dimensions must be positive, got {self.width}x{self.height}")
+        if self.iterations < 0:
+            raise ValueError(f"iterations must be non-negative, got {self.iterations}")
+        if self.warmup < 0:
+            raise ValueError(f"warmup must be non-negative, got {self.warmup}")
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

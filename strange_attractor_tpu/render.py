@@ -356,14 +356,19 @@ def render_frame(config: Config, key=None, *, angle: Optional[float] = None) -> 
     return np.asarray(jax.device_get(colorize(config, state)))
 
 
-def render_parallel(config: Config, key=None, *, devices=None) -> np.ndarray:
+def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: int = 12) -> np.ndarray:
     """Render using every visible device (reference: src/lib.rs:1051-1082).
 
     With one device this equals :func:`render_frame`; with more, trajectory
     lanes shard across the mesh and the canvases merge with collectives
     (count: psum; depth/steps: max-by-key) — the TPU replacement for the
     thread pool + ``Runtime::merge`` fold.
+
+    ``jobs_per_thread`` is accepted for signature parity with the reference
+    (src/lib.rs:1051-1058) and ignored: SPMD lanes are statically balanced,
+    so there is no work stealing to tune.
     """
+    del jobs_per_thread
     devices = devices if devices is not None else jax.devices()
     if len(devices) <= 1:
         return render_frame(config, key)

@@ -107,3 +107,14 @@ def test_lorenz_preset_renders():
     assert c[:2, :].sum() + c[-2:, :].sum() < 0.05 * c.sum()
     img = np.asarray(jax.device_get(colorize(cfg, st)))
     assert img[..., :3].max() > 0
+
+
+def test_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="dimensions"):
+        presets.poisson_saturne(width=0)
+    with pytest.raises(ValueError, match="iterations"):
+        presets.poisson_saturne(iterations=-1)
+    with pytest.raises(ValueError, match="warmup"):
+        presets.poisson_saturne(warmup=-5)
