@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Parallel trajectory lanes (default: auto from iterations)")
     p.add_argument("--chunk-steps", type=int, default=None,
                    help="Map steps per binning flush (default: auto)")
-    p.add_argument("--bin-strategy", choices=["auto", "exact", "packed"], default="auto",
+    p.add_argument("--bin-strategy", choices=["auto", "exact", "packed", "depth"], default="auto",
                    help="Canvas accumulation strategy (see docs)")
     p.add_argument("--seed", type=int, default=None, help="Deterministic RNG seed")
     p.add_argument("--reseed-lanes", dest="reseed_lanes", action="store_true",

@@ -106,7 +106,6 @@ class Lorenz:
 
     def _deriv(self, p, xp):
         x, y, z = p[..., 0], p[..., 1], p[..., 2]
-        dt_ = p.dtype.type if xp is np else (lambda v: v)
         dx = self.sigma * (y - x)
         dy = x * (self.rho - z) - y
         dz = x * y - self.beta * z

@@ -76,12 +76,17 @@ def oracle_points(config: Config, p0: np.ndarray, steps: int, dtype=np.float32):
         z2 = (s[0] + ccx) * sin_v - (s[2] + ccy) * cos_v
         i = (mid - x2) * width_scaled
         j = height / dt(2.0) - (s[1] + ccz) * width_scaled
-        ok = bool((i < width) & (j < height) & (i >= 0.0) & (j >= 0.0))
+        # reference form (src/lib.rs:789): skip iff i>=W or j>=H or i<0 or
+        # j<0 — NaN fails all four and passes; Rust's saturating `as u32`
+        # then bins it at pixel (0, 0) (escaped-orbit behavior)
+        ok = not bool((i >= width) | (j >= height) | (i < 0.0) | (j < 0.0))
         fi[k], fj[k], z2a[k], inb[k] = i, j, z2, ok
         delta = cur - prev
         val[k] = config.color_transform.numpy(delta, s, config.view)
         if ok:
-            flat[k] = int(j) * config.width + int(i)
+            ii = 0 if np.isnan(i) else int(i)
+            jj = 0 if np.isnan(j) else int(j)
+            flat[k] = jj * config.width + ii
         prev = cur
     return {"fi": fi, "fj": fj, "z2": z2a, "value": val, "inbounds": inb, "flat": flat}
 

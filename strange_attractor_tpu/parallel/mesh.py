@@ -68,12 +68,14 @@ def merge_collective(planes: tuple, strategy: BinStrategy, axis: str) -> tuple:
     return count, steps, zmax
 
 
-def _local_render_fn(config: Config, strategy: BinStrategy, lanes: int, nchunks: int, axis: str):
+def _local_render_fn(
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int, axis: str
+):
     """Build the per-device render body (runs inside ``shard_map``): a plain
     single-canvas render with a device-unique key, merged collectively."""
     from ..render import _canvas_body
 
-    canvas = _canvas_body(config, strategy, lanes, nchunks)
+    canvas = _canvas_body(config, strategy, lanes, chunk_steps, nchunks)
 
     def body(key, cos_v, sin_v):
         key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -82,34 +84,54 @@ def _local_render_fn(config: Config, strategy: BinStrategy, lanes: int, nchunks:
     return body
 
 
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_cache_key(config, strategy, lanes, chunk_steps, nchunks, devices, kind):
+    pinned = config.replace(angle=0.0, iterations=1, lanes=lanes, chunk_steps=chunk_steps)
+    return (
+        pinned.fingerprint(),
+        strategy.value,
+        nchunks,
+        kind,
+        tuple(str(d) for d in devices),
+    )
+
+
 def render_sharded(config: Config, devices=None, key=None) -> RenderState:
     """Render with trajectory lanes sharded over every device; returns the
     merged (replicated) state. TPU analog of ``render_parallel``
-    (src/lib.rs:1051-1082)."""
+    (src/lib.rs:1051-1082). Compiled programs are cached (angle is a traced
+    argument), so per-frame calls don't recompile."""
     from ..render import plan_schedule, seed_key
 
     mesh = lanes_mesh(devices)
     ndev = mesh.devices.size
     strategy = config.resolved_bin_strategy(jax.default_backend())
-
     lanes_total, chunk_steps, nchunks = plan_schedule(config)
     lanes_local = max(1, lanes_total // ndev)
-    body = _local_render_fn(config, strategy, lanes_local, nchunks, "lanes")
+
+    ckey = _sharded_cache_key(
+        config, strategy, lanes_local, chunk_steps, nchunks, mesh.devices.flat, "lanes"
+    )
+    fn = _SHARDED_CACHE.get(ckey)
+    if fn is None:
+        body = _local_render_fn(config, strategy, lanes_local, chunk_steps, nchunks, "lanes")
+        fn = jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        _SHARDED_CACHE[ckey] = fn
 
     key = seed_key(config, key)
     dt = jnp.dtype(config.dtype)
     cos_v = jnp.asarray(np.cos(config.angle), dt)
     sin_v = jnp.asarray(np.sin(config.angle), dt)
-
-    fn = jax.jit(
-        shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=P(),
-            check_vma=False,
-        )
-    )
     planes = fn(key, cos_v, sin_v)
     return planes_to_state(planes, strategy, (config.height, config.width))
 
@@ -144,7 +166,7 @@ def render_sequence_sharded(
     The angle count is padded up to a multiple of the frames axis; padded
     frames are rendered (identical cost, SPMD) and dropped on the host.
     """
-    from ..render import plan_schedule, seed_key, colorize
+    from ..render import plan_schedule, seed_key
     from ..ops.colorize import colorize_planes, state_planes
 
     devices = list(devices) if devices is not None else jax.devices()
@@ -159,7 +181,6 @@ def render_sequence_sharded(
     strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes_total, chunk_steps, nchunks = plan_schedule(config)
     lanes_local = max(1, lanes_total // lane_axis)
-    body = _local_render_fn(config, strategy, lanes_local, nchunks, "lanes")
 
     nang = len(angles_deg)
     pad = (-nang) % frame_axis
@@ -169,24 +190,33 @@ def render_sequence_sharded(
     cos_all = jnp.asarray(np.cos(rad), dt)
     sin_all = jnp.asarray(np.sin(rad), dt)
 
-    def frames_body(key, cos_f, sin_f):
-        key = jax.random.fold_in(key, lax.axis_index("frames"))
-
-        def one(cs):
-            planes = body(key, cs[0], cs[1])
-            st = planes_to_state(planes, strategy, (config.height, config.width))
-            return colorize_planes(config, *state_planes(st))
-
-        return jax.vmap(one)(jnp.stack([cos_f, sin_f], axis=1))
-
-    fn = jax.jit(
-        shard_map(
-            frames_body,
-            mesh=mesh,
-            in_specs=(P(), P("frames"), P("frames")),
-            out_specs=P("frames"),
-            check_vma=False,
-        )
+    ckey = _sharded_cache_key(
+        config, strategy, lanes_local, chunk_steps, nchunks, devices,
+        ("frames", frame_axis, len(angles)),
     )
+    fn = _SHARDED_CACHE.get(ckey)
+    if fn is None:
+        body = _local_render_fn(config, strategy, lanes_local, chunk_steps, nchunks, "lanes")
+
+        def frames_body(key, cos_f, sin_f):
+            key = jax.random.fold_in(key, lax.axis_index("frames"))
+
+            def one(cs):
+                planes = body(key, cs[0], cs[1])
+                st = planes_to_state(planes, strategy, (config.height, config.width))
+                return colorize_planes(config, *state_planes(st))
+
+            return jax.vmap(one)(jnp.stack([cos_f, sin_f], axis=1))
+
+        fn = jax.jit(
+            shard_map(
+                frames_body,
+                mesh=mesh,
+                in_specs=(P(), P("frames"), P("frames")),
+                out_specs=P("frames"),
+                check_vma=False,
+            )
+        )
+        _SHARDED_CACHE[ckey] = fn
     frames = fn(seed_key(config, key), cos_all, sin_all)
     return np.asarray(jax.device_get(frames))[:nang]

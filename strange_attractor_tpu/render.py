@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .config import BinStrategy, Config, RenderKind
+from .config import BinStrategy, Config
 from .ops import binning
 from .ops.colorize import colorize_planes, state_planes
 from .ops.projection import camera_params, project, rotate_point
@@ -93,17 +93,25 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
         sx, sy, sz = rotate_point(cam, new, jnp)
         fi, fj, z2 = project(cam, sx, sy, sz, cos_v, sin_v, jnp)
         dt = fi.dtype
-        age = age + 1  # negative while a reseeded lane re-warms (emit when > 0)
-        inb = (
-            (fi < W)
-            & (fj < H)
-            & (fi >= jnp.asarray(0.0, dt))
-            & (fj >= jnp.asarray(0.0, dt))
-            & (age > 0)
-        )
-        flat = jnp.where(
-            inb, fj.astype(jnp.int32) * W + fi.astype(jnp.int32), jnp.int32(npix)
-        )
+        # clamp at 1 so a lane never overflows int32 on huge renders;
+        # negative while a reseeded lane re-warms (emit when > 0)
+        age = jnp.minimum(age + 1, jnp.int32(1))
+        # Replicate the reference bounds check exactly (src/lib.rs:789): a
+        # point is SKIPPED iff i>=W or j>=H or i<0 or j<0. NaN coordinates
+        # (escaped orbits: inf -> NaN after a few steps) fail all four
+        # comparisons, PASS the check, and the saturating `as u32` cast bins
+        # them at pixel (0,0) (src/lib.rs:799-812) — inflating `max` there
+        # and dimming the tone map. That is part of the reference's output
+        # for escaping presets (solar-sail), so it is preserved.
+        zero = jnp.asarray(0.0, dt)
+        oob = (fi >= W) | (fj >= H) | (fi < zero) | (fj < zero)
+        inb = ~oob & (age > 0)
+        ii = jnp.nan_to_num(fi, nan=0.0).astype(jnp.int32)
+        jj = jnp.nan_to_num(fj, nan=0.0).astype(jnp.int32)
+        flat = jnp.where(inb, jj * W + ii, jnp.int32(npix))
+        # NaN z never wins the z-test (NaN > zbuf is false, src/lib.rs:821);
+        # -inf is the scatter-max-safe equivalent
+        z2 = jnp.where(jnp.isnan(z2), -jnp.inf, z2)
         delta = new - prev
         screen = jnp.stack([sx, sy, sz], axis=-1)
         val = transform(delta, screen, view)
@@ -123,12 +131,15 @@ def _reseed_dead_lanes(config: Config, key, cur, prev, age, dt):
     """Opt-in lane resurrection (``Config.reseed_lanes``).
 
     Some coefficient sets have escaping basins: ~40% of solar-sail seed points
-    diverge to infinity within ~32 steps *in the reference's own f64 math*;
-    those work units silently render nothing (the bounds check at
-    src/lib.rs:789 skips every point). With reseeding on, escaped lanes
-    restart from a fresh seed and re-warm before emitting — strictly more
-    samples of the same invariant measure, so the normalized image is
-    unchanged but converges faster.
+    diverge to infinity within ~32 steps *in the reference's own f64 math*.
+    In the reference those work units first skip points while coordinates are
+    +/-inf, then — once arithmetic turns them NaN — bin every remaining
+    iteration at pixel (0,0) (NaN passes the bounds check, src/lib.rs:789,
+    and saturating casts map it to 0), inflating the brightness normalizer.
+    With reseeding on, escaped lanes instead restart from a fresh seed and
+    re-warm before emitting — every iteration contributes a real sample of
+    the invariant measure. (This intentionally diverges from reference
+    behavior; leave it off for output parity.)
     """
     key, sub = jax.random.split(key)
     bad = ~jnp.isfinite(cur).all(axis=-1) | (jnp.abs(cur).max(axis=-1) > jnp.asarray(1e3, dt))
@@ -144,11 +155,13 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     (the camera angle is a traced cos/sin pair so sequences don't recompile)."""
     lanes, chunk_steps, _ = plan_schedule(config)
     # angle is traced and iteration count only picks how often kernels run,
-    # so neither belongs in the compile cache key
+    # so neither belongs in the compile cache key; lanes/chunk_steps are
+    # pinned to their *resolved* values so auto-scheduled configs and
+    # precompile()'s explicitly-pinned warm config hash identically
     key = (
-        config.replace(angle=0.0, iterations=1).fingerprint(),
-        lanes,
-        chunk_steps,
+        config.replace(
+            angle=0.0, iterations=1, lanes=lanes, chunk_steps=chunk_steps
+        ).fingerprint(),
         strategy.value,
         nchunks,
     )
@@ -290,16 +303,16 @@ def render(
     else:
         planes = (state.count.reshape(-1), state.steps.reshape(-1), state.zbuf.reshape(-1))
 
-    def _partial_state():
+    def _partial_state(copy: bool = False):
+        # progress callbacks may retain the state past the next dispatch,
+        # which donates (invalidates) the working planes — hand them a copy
+        c = (lambda x: jnp.array(x, copy=True)) if copy else (lambda x: x)
+        p = [c(pl).reshape(shape) for pl in planes]
         if strategy == BinStrategy.PACKED:
-            return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
+            return RenderState(count=p[0], packed=p[1])
         if strategy == BinStrategy.DEPTH:
-            return RenderState(zbuf=planes[0].reshape(shape))
-        return RenderState(
-            count=planes[0].reshape(shape),
-            steps=planes[1].reshape(shape),
-            zbuf=planes[2].reshape(shape),
-        )
+            return RenderState(zbuf=p[0])
+        return RenderState(count=p[0], steps=p[1], zbuf=p[2])
 
     t0 = time.perf_counter()
     for _ in range(outer_full):
@@ -308,12 +321,12 @@ def render(
         if not config.silent:
             print(f"Iteration complete, {nchunks - done} left to go.")
         if on_progress is not None:
-            on_progress(done, nchunks, _partial_state())
+            on_progress(done, nchunks, _partial_state(copy=True))
     for _ in range(rem):
         planes, cur, prev, age, rkey = dispatch(1, planes, cur, prev, age, rkey)
         done += 1
     if on_progress is not None and rem:
-        on_progress(done, nchunks, _partial_state())
+        on_progress(done, nchunks, _partial_state(copy=True))
     if not config.silent:
         executed = lanes * chunk_steps * nchunks
         dtime = time.perf_counter() - t0
@@ -378,13 +391,14 @@ def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: 
     return np.asarray(jax.device_get(colorize(config, state)))
 
 
-def _canvas_body(config: Config, strategy: BinStrategy, lanes: int, nchunks: int):
+def _canvas_body(
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int
+):
     """One full single-canvas render as a pure function
     ``(key, cos, sin) -> accumulator planes`` — the unit that gets vmapped
-    over frames and shard_mapped over devices."""
-    from .ops.projection import camera_params
-
-    chunk_steps = config.resolved_chunk_steps()
+    over frames and shard_mapped over devices. ``chunk_steps`` must come from
+    the same :func:`plan_schedule` as ``nchunks`` (it clamps for small
+    iteration counts)."""
     cam = camera_params(config.view, 0.0, config.width, config.height)
     dt = _dtype(config)
     step = _step_fn(config, cam, strategy)
@@ -416,14 +430,12 @@ def _canvas_body(config: Config, strategy: BinStrategy, lanes: int, nchunks: int
                 step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps
             )
             emitted = tuple(e.reshape(-1) for e in emitted)
-            from .ops import binning as _b
-
             if strategy == BinStrategy.PACKED:
-                planes = _b.bin_chunk_packed(*planes, *emitted)
+                planes = binning.bin_chunk_packed(*planes, *emitted)
             elif strategy == BinStrategy.DEPTH:
-                planes = _b.bin_chunk_depth(*planes, *emitted)
+                planes = binning.bin_chunk_depth(*planes, *emitted)
             else:
-                planes = _b.bin_chunk_exact(*planes, *emitted)
+                planes = binning.bin_chunk_exact(*planes, *emitted)
             return (planes, cur, prev, age, rkey), None
 
         (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
@@ -451,7 +463,7 @@ def render_sequence_batched(
 
     strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes, chunk_steps, nchunks = plan_schedule(config)
-    body = _canvas_body(config, strategy, lanes, nchunks)
+    body = _canvas_body(config, strategy, lanes, chunk_steps, nchunks)
     shape = (config.height, config.width)
 
     def one(k, cos_v, sin_v):
