@@ -28,6 +28,7 @@ or the one-shot parallel path (reference: src/lib.rs:1051)::
 """
 
 from .config import (
+    BinStrategy,
     BrightnessConstants,
     Colors,
     Config,
@@ -55,6 +56,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AdjustedVelocity",
     "Attractor",
+    "BinStrategy",
     "BrightnessConstants",
     "Colors",
     "Config",

@@ -127,3 +127,18 @@ def test_render_sequence_batched_single_device():
     # gives the same image for the same per-frame key stream
     f2 = render_sequence_batched(cfg, [0.0, 90.0], frames_per_batch=2)
     np.testing.assert_array_equal(f2[0], frames[0])
+
+
+def test_render_parallel_single_device_path(monkeypatch):
+    """render_parallel with one device equals render_frame (reference parity
+    entry point, src/lib.rs:1051); jobs_per_thread is accepted and ignored."""
+    import jax
+    from strange_attractor_tpu.render import render_frame, render_parallel
+
+    cfg = presets.poisson_saturne(iterations=5000, width=24, height=16,
+                                  lanes=32, chunk_steps=16, seed=3)
+    one_dev = [jax.devices()[0]]
+    img_p = render_parallel(cfg, key=jax.random.PRNGKey(1), devices=one_dev,
+                            jobs_per_thread=16)
+    img_f = render_frame(cfg, key=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(img_p, img_f)
