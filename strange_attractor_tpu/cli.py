@@ -50,6 +50,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "silently stomping solar-sail's 1.7 — fixed here.")
     p.add_argument("-p", "--preset", choices=list(presets.PRESET_NAMES),
                    default="poisson-saturne", help="Which built-in attractor to render")
+    # custom polynomial Sprott coefficients (the reference requires writing
+    # Rust against the Attractor trait for this; chaoscope publishes such
+    # coefficient sets). Each takes the 10 monomial coefficients for
+    # [1, x, x^2, xy, xz, y, y^2, yz, z, z^2].
+    p.add_argument("--coeffs-x", dest="coeffs_x", type=float, nargs=10, default=None,
+                   metavar="C", help="Custom attractor: 10 x-row coefficients")
+    p.add_argument("--coeffs-y", dest="coeffs_y", type=float, nargs=10, default=None,
+                   metavar="C", help="Custom attractor: 10 y-row coefficients")
+    p.add_argument("--coeffs-z", dest="coeffs_z", type=float, nargs=10, default=None,
+                   metavar="C", help="Custom attractor: 10 z-row coefficients")
+    p.add_argument("--camera", type=float, nargs=3, default=None, metavar="V",
+                   help="Custom attractor: center_camera x y z (default: preset's)")
+    p.add_argument("--rotation-axis", dest="rotation_axis", type=float, nargs=4,
+                   default=None, metavar="V",
+                   help="Custom attractor: rotation axis x y z + angle (radians)")
     p.add_argument("--pam", "--pnm", "--pbm", dest="pam", action="store_true",
                    help="Use PAM format, a bitmap-like format. 16-bit images are not supported.")
     p.add_argument("--bmp", "--bitmap", dest="bmp", action="store_true",
@@ -110,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
     seq.add_argument("--frames-per-batch", dest="frames_per_batch", type=int, default=0,
                      help="Render this many frames per device program as a vmapped "
                           "batch (0 = serial frames). Best for many small frames.")
+    seq.add_argument("--apng", action="store_true",
+                     help="Write the whole sequence as one animated PNG "
+                          "('<name>.apng') instead of per-frame files")
+    seq.add_argument("--fps", type=float, default=30.0,
+                     help="Playback rate for --apng")
 
     comp = sub.add_parser("completion", help="Generate a shell completion script",
                           add_help=False)
@@ -159,6 +179,35 @@ def config_from_args(args):
     )
     if args.scale is not None:
         config = config.replace(view=config.view.replace(scale=args.scale))
+
+    # custom attractor overrides (coefficient rows default to the preset's)
+    coeff_rows = (args.coeffs_x, args.coeffs_y, args.coeffs_z)
+    if any(r is not None for r in coeff_rows):
+        from .models.attractors import PolynomialSprott2Degree
+
+        base = config.attractor
+        if not isinstance(base, PolynomialSprott2Degree):
+            base = PolynomialSprott2Degree(x=(0,) * 10, y=(0,) * 10, z=(0,) * 10)
+        config = config.replace(
+            attractor=PolynomialSprott2Degree(
+                x=tuple(coeff_rows[0]) if coeff_rows[0] else base.x,
+                y=tuple(coeff_rows[1]) if coeff_rows[1] else base.y,
+                z=tuple(coeff_rows[2]) if coeff_rows[2] else base.z,
+            )
+        )
+    if args.camera is not None:
+        config = config.replace(
+            view=config.view.replace(center_camera=tuple(args.camera))
+        )
+    if args.rotation_axis is not None:
+        from .ops.projection import EulerAxisRotation
+
+        ax = args.rotation_axis
+        config = config.replace(
+            view=config.view.replace(
+                rotation=EulerAxisRotation(axis=(ax[0], ax[1], ax[2]), rotation=ax[3])
+            )
+        )
     return config
 
 
@@ -219,6 +268,24 @@ def main(argv=None) -> int:
                     [a for a, _ in frames],
                     frames_per_batch=args.frames_per_batch,
                 )
+            else:
+                images = None
+            if args.apng:
+                from .utils.export import convert_format, write_apng
+
+                if images is None:
+                    images = [
+                        _render_one(args, config, render_mod,
+                                    angle_rad=float(np.radians(a)))
+                        for a, _ in frames
+                    ]
+                stack = np.stack(
+                    [convert_format(im, args.transparent, args.eight_bit) for im in images]
+                )
+                out = base.with_suffix(".apng")
+                write_apng(out, stack, fps=args.fps)
+                print(f"Wrote animation to '{out}'.")
+            elif images is not None:
                 for (angle_deg, out_path), image in zip(frames, images):
                     write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
             else:

@@ -33,8 +33,7 @@ def convert_format(image_u16: np.ndarray, transparent: bool, eight_bit: bool) ->
 # ---------------------------------------------------------------- PNG ----
 
 
-def png_bytes(arr: np.ndarray) -> bytes:
-    """Encode (H, W, 3|4) uint8/uint16 as a PNG byte string."""
+def _png_geometry(arr: np.ndarray):
     if arr.ndim != 3 or arr.shape[2] not in (3, 4):
         raise ValueError(f"expected (H, W, 3|4), got {arr.shape}")
     h, w, ch = arr.shape
@@ -45,10 +44,12 @@ def png_bytes(arr: np.ndarray) -> bytes:
     else:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     color_type = 6 if ch == 4 else 2
+    return h, w, depth, color_type, raw
 
+
+def _filter_scanlines(raw: np.ndarray, h: int) -> bytes:
+    """Per-row None/Up PNG filtering, fully vectorized (row 0 -> None)."""
     rows = raw.reshape(h, -1).view(np.uint8).reshape(h, -1)
-    # 'Up' filter compresses smooth renders well; pick None/Up per row by
-    # nonzero count, fully vectorized (row 0 has no predecessor -> None).
     up = rows.copy()
     up[1:] -= rows[:-1]
     use_up = np.count_nonzero(up, axis=1) < np.count_nonzero(rows, axis=1)
@@ -57,19 +58,63 @@ def png_bytes(arr: np.ndarray) -> bytes:
     filtered = np.empty((h, 1 + stride), np.uint8)
     filtered[:, 0] = np.where(use_up, 2, 0)
     filtered[:, 1:] = np.where(use_up[:, None], up, rows)
-    filtered = filtered.tobytes()
+    return filtered.tobytes()
 
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        out = struct.pack(">I", len(payload)) + tag + payload
-        return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    out = struct.pack(">I", len(payload)) + tag + payload
+    return out + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+
+
+def png_bytes(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3|4) uint8/uint16 as a PNG byte string."""
+    h, w, depth, color_type, raw = _png_geometry(arr)
     from .native import zlib_compress_parallel
 
-    idat = zlib_compress_parallel(filtered, 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    idat = zlib_compress_parallel(_filter_scanlines(raw, h), 6)
     return b"".join(
-        [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr), chunk(b"IDAT", idat), chunk(b"IEND", b"")]
+        [b"\x89PNG\r\n\x1a\n", _chunk(b"IHDR", ihdr), _chunk(b"IDAT", idat), _chunk(b"IEND", b"")]
     )
+
+
+def apng_bytes(frames: np.ndarray, fps: float = 30.0, loops: int = 0) -> bytes:
+    """Encode (F, H, W, 3|4) uint8/uint16 frames as an animated PNG.
+
+    Goes beyond the reference (which writes one file per sequence frame,
+    src/bin/main.rs:496-512): the whole animation lands in one APNG that any
+    modern viewer plays. ``loops=0`` means infinite.
+    """
+    from .native import zlib_compress_parallel
+
+    if frames.ndim != 4 or frames.shape[0] < 1:
+        raise ValueError(f"expected (F, H, W, C) frames, got {frames.shape}")
+    h, w, depth, color_type, _ = _png_geometry(frames[0])
+
+    delay_den = max(1, int(round(fps)))
+    out = [b"\x89PNG\r\n\x1a\n"]
+    out.append(_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)))
+    out.append(_chunk(b"acTL", struct.pack(">II", frames.shape[0], loops)))
+    seq = 0
+    for f, frame in enumerate(frames):
+        _, _, _, _, raw = _png_geometry(frame)
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, delay_den, 0, 0
+        )  # full-canvas frame, 1/fps delay, dispose none, blend source
+        out.append(_chunk(b"fcTL", fctl))
+        seq += 1
+        data = zlib_compress_parallel(_filter_scanlines(raw, h), 6)
+        if f == 0:
+            out.append(_chunk(b"IDAT", data))
+        else:
+            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def write_apng(path, frames: np.ndarray, fps: float = 30.0) -> None:
+    Path(path).write_bytes(apng_bytes(frames, fps))
 
 
 def write_png(path, arr: np.ndarray) -> None:

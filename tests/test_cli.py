@@ -130,3 +130,27 @@ def test_preset_scale_preserved_unless_overridden():
     assert config_from_args(args2).view.scale == 2.5
     args3 = build_parser().parse_args(["-p", "lorenz"])
     assert config_from_args(args3).view.scale == 0.02
+
+
+def test_custom_coefficients():
+    """Custom polynomial coefficients from the CLI (not possible in the
+    reference without writing Rust)."""
+    coeffs = ["--coeffs-x"] + [str(v) for v in
+              (0.021, 1.182, -1.183, 0.128, -1.12, -0.641, -1.152, -0.834, -0.97, 0.722)]
+    args = build_parser().parse_args(coeffs + ["--camera", "0.1", "0.2", "0.3",
+                                               "--rotation-axis", "0", "0", "1", "0.5"])
+    cfg = config_from_args(args)
+    assert cfg.attractor.x[1] == 1.182
+    # unspecified rows keep the preset's values (poisson-saturne default)
+    assert cfg.attractor.y[0] == 0.243038
+    assert cfg.view.center_camera == (0.1, 0.2, 0.3)
+    assert cfg.view.rotation.axis == (0.0, 0.0, 1.0)
+    assert cfg.view.rotation.rotation == 0.5
+
+
+def test_custom_coefficients_render(tmp_path):
+    out = tmp_path / "custom"
+    coeffs = (["--coeffs-x"] + ["0.021", "1.182", "-1.183", "0.128", "-1.12",
+                                "-0.641", "-1.152", "-0.834", "-0.97", "0.722"])
+    assert main(FAST + coeffs + ["-o", str(out)]) == 0
+    assert (tmp_path / "custom.png").exists()
