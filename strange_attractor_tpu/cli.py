@@ -131,6 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
     seq.add_argument("--fps", type=float, default=30.0,
                      help="Playback rate for --apng")
 
+    doc = sub.add_parser("doctor", help="Run environment self-checks "
+                         "(device, correctness vs the numpy oracle, throughput)",
+                         add_help=False)
+    doc.add_argument("--help", action="help", help="Print help")
+
     comp = sub.add_parser("completion", help="Generate a shell completion script",
                           add_help=False)
     comp.add_argument("--help", action="help", help="Print help")
@@ -227,6 +232,9 @@ def main(argv=None) -> int:
 
         sys.stdout.write(completion_script(args.shell, parser))
         return 0
+
+    if args.subcommand == "doctor":
+        return doctor()
 
     import importlib
 
@@ -348,6 +356,55 @@ def _render_stateful(args, config, render_mod, state):
         state = render_mod.render(config, state, on_progress=on_progress)
     image = np.asarray(jax.device_get(render_mod.colorize(config, state)))
     return image, state
+
+
+def doctor() -> int:
+    """Environment self-check: device, oracle-exactness, throughput.
+
+    The reference has no equivalent; this is the 'is my install sane' path
+    for a framework expected to run on varied TPU/CPU hosts.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from .config import BinStrategy
+    from .models import presets
+    from .oracle import oracle_render
+    from .render import plan_schedule, render, seed_key
+    from .utils.native import get_lib
+
+    ok = True
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    print(f"native parallel-deflate: {'available' if get_lib() else 'unavailable (stdlib zlib fallback)'}")
+
+    cfg = presets.poisson_saturne(
+        width=64, height=36, lanes=4, chunk_steps=16, iterations=4 * 16 * 2,
+        warmup=100, seed=7, bin_strategy=BinStrategy.EXACT,
+    )
+    key = seed_key(cfg)
+    lanes, _, _ = plan_schedule(cfg)
+    seeds = np.asarray(jax.random.uniform(key, (lanes, 3), dtype="float32") * 0.1)
+    state = render(cfg, key=key)
+    oc, _, _ = oracle_render(cfg, seeds, steps_per_lane=32)
+    agree = (np.asarray(state.count) == oc).mean()
+    print(f"oracle agreement (short-horizon exact): {agree:.4%}")
+    if agree < 0.999:
+        print("  FAIL: device arithmetic diverges from the oracle")
+        ok = False
+
+    bench_cfg = presets.poisson_saturne(iterations=2_000_000, width=192, height=108, seed=0)
+    st = render(bench_cfg)  # warm/compile
+    float(st.count.sum())
+    t0 = time.perf_counter()
+    st = render(bench_cfg)
+    float(st.count.sum())
+    dtime = time.perf_counter() - t0
+    l, k, n = plan_schedule(bench_cfg)
+    print(f"throughput: {l * k * n / dtime:.3e} iters/s on this device")
+    print("doctor: OK" if ok else "doctor: PROBLEMS FOUND")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

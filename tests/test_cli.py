@@ -154,3 +154,9 @@ def test_custom_coefficients_render(tmp_path):
                                 "-0.641", "-1.152", "-0.834", "-0.97", "0.722"])
     assert main(FAST + coeffs + ["-o", str(out)]) == 0
     assert (tmp_path / "custom.png").exists()
+
+
+def test_doctor(capsys):
+    assert main(["doctor"]) == 0
+    out = capsys.readouterr().out
+    assert "oracle agreement" in out and "doctor: OK" in out
