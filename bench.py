@@ -32,7 +32,10 @@ def main() -> None:
     from strange_attractor_tpu.config import BrightnessConstants, Colors
     from strange_attractor_tpu.render import plan_schedule, precompile
 
-    iterations = int(float(os.environ.get("BENCH_ITERS", "1e9")))
+    # full reference workload on TPU; a token run elsewhere (CPU would take
+    # tens of minutes at 1e9)
+    default_iters = "1e9" if jax.default_backend() == "tpu" else "2e6"
+    iterations = int(float(os.environ.get("BENCH_ITERS", default_iters)))
     cfg = presets.poisson_saturne(
         iterations=iterations,
         width=1920,
