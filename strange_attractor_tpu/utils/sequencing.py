@@ -35,7 +35,14 @@ def angle_iter(start_deg: float, end_deg: float, step_deg: float) -> Iterator[fl
 
 
 def needed_digits(start_deg: float, end_deg: float, step_deg: float) -> int:
-    """Zero-pad width for frame numbers (reference: main.rs:116-133)."""
+    """Zero-pad width for frame numbers (reference: main.rs:116-133).
+
+    Note: the reference's estimate ``(end-start-step/2)/step`` can undercount
+    (e.g. start=0 end=5 step=3 gives 1.17 -> 0 digits for 2 frames), making
+    distinct frames share one filename and overwrite each other.
+    :func:`frame_sequence` therefore derives the width from the actual frame
+    count; this function is kept for reference-formula parity checks.
+    """
     count = (end_deg - start_deg - step_deg / 2.0) / step_deg
     if int(count) <= 1:
         return 0
@@ -58,11 +65,16 @@ def frame_path(base: Path, frame_index: int, digits: int) -> Path:
 def frame_sequence(
     start_deg: float, end_deg: float, step_deg: float, base: Path
 ) -> Iterator[tuple[float, Path]]:
-    """(angle_degrees, output_path) pairs for a sequence run."""
-    digits = needed_digits(start_deg, end_deg, step_deg)
+    """(angle_degrees, output_path) pairs for a sequence run.
+
+    The pad width comes from the actual frame count (fixes the reference's
+    undercounting estimate — see :func:`needed_digits`); a single frame keeps
+    the plain name like the reference (main.rs:169-174).
+    """
     angles = list(angle_iter(start_deg, end_deg, step_deg))
     if len(angles) == 1:
         yield angles[0], Path(base)
         return
+    digits = len(str(len(angles) - 1))
     for k, angle in enumerate(angles):
         yield angle, frame_path(Path(base), k, digits)
