@@ -49,6 +49,9 @@ def _png_geometry(arr: np.ndarray):
 
 def _filter_scanlines(raw: np.ndarray, h: int) -> bytes:
     """Per-row None/Up PNG filtering, fully vectorized (row 0 -> None)."""
+    # jax.device_get from TPU can hand back non-contiguous strided views
+    # (padded device layouts); .view() below needs contiguous memory
+    raw = np.ascontiguousarray(raw)
     rows = raw.reshape(h, -1).view(np.uint8).reshape(h, -1)
     up = rows.copy()
     up[1:] -= rows[:-1]

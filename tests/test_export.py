@@ -197,3 +197,13 @@ def test_apng_cli(tmp_path):
     data = (tmp_path / "anim.apng").read_bytes()
     chunks = _parse_apng_chunks(data)
     assert sum(1 for t, _ in chunks if t == b"fcTL") == 3
+
+
+def test_png_noncontiguous_input(img16):
+    """jax.device_get from TPU can return strided views; the writer must
+    handle them (regression: BASELINE config #4 failed on real TPU)."""
+    view = img16[:, ::-1]  # reversed-stride view, not C-contiguous
+    assert not view.flags["C_CONTIGUOUS"]
+    data = png_bytes(view)
+    got = _decode_png(data)
+    np.testing.assert_array_equal(got, np.ascontiguousarray(view))
