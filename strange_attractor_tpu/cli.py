@@ -374,6 +374,7 @@ def doctor() -> int:
     from .oracle import oracle_render
     from .render import plan_schedule, render, seed_key
     from .utils.native import get_lib
+    from .utils.profiling import hard_sync
 
     ok = True
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
@@ -384,10 +385,10 @@ def doctor() -> int:
         warmup=100, seed=7, bin_strategy=BinStrategy.EXACT,
     )
     key = seed_key(cfg)
-    lanes, _, _ = plan_schedule(cfg)
+    lanes, chunk, nchunks = plan_schedule(cfg)
     seeds = np.asarray(jax.random.uniform(key, (lanes, 3), dtype="float32") * 0.1)
     state = render(cfg, key=key)
-    oc, _, _ = oracle_render(cfg, seeds, steps_per_lane=32)
+    oc, _, _ = oracle_render(cfg, seeds, steps_per_lane=chunk * nchunks)
     agree = (np.asarray(state.count) == oc).mean()
     print(f"oracle agreement (short-horizon exact): {agree:.4%}")
     if agree < 0.999:
@@ -396,10 +397,10 @@ def doctor() -> int:
 
     bench_cfg = presets.poisson_saturne(iterations=2_000_000, width=192, height=108, seed=0)
     st = render(bench_cfg)  # warm/compile
-    float(st.count.sum())
+    hard_sync(st)
     t0 = time.perf_counter()
     st = render(bench_cfg)
-    float(st.count.sum())
+    hard_sync(st)
     dtime = time.perf_counter() - t0
     l, k, n = plan_schedule(bench_cfg)
     print(f"throughput: {l * k * n / dtime:.3e} iters/s on this device")

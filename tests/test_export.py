@@ -200,10 +200,21 @@ def test_apng_cli(tmp_path):
 
 
 def test_png_noncontiguous_input(img16):
-    """jax.device_get from TPU can return strided views; the writer must
-    handle them (regression: BASELINE config #4 failed on real TPU)."""
-    view = img16[:, ::-1]  # reversed-stride view, not C-contiguous
+    """jax.device_get from the tunneled TPU can hand back layouts whose last
+    axis is not contiguous, which broke the .view(uint8) reinterpret in the
+    scanline filter (BASELINE config #4 on real TPU). Exercise the filter
+    directly with such a layout, plus png_bytes with a strided view."""
+    from strange_attractor_tpu.utils.export import _filter_scanlines
+
+    h, stride = 5, 7 * 8
+    base = np.arange(h * stride * 2, dtype=np.uint8).reshape(h, stride, 2)
+    hostile = base[:, :, 0]  # last-axis stride 2: not contiguous
+    assert hostile.strides[-1] != hostile.itemsize
+    out = _filter_scanlines(hostile, h)
+    want = _filter_scanlines(np.ascontiguousarray(hostile), h)
+    assert out == want
+
+    view = img16[:, ::-1]  # reversed-stride view through the full writer
     assert not view.flags["C_CONTIGUOUS"]
-    data = png_bytes(view)
-    got = _decode_png(data)
+    got = _decode_png(png_bytes(view))
     np.testing.assert_array_equal(got, np.ascontiguousarray(view))

@@ -35,7 +35,7 @@ def test_mono_u32_is_order_preserving(zs):
 
 @settings(max_examples=200, deadline=None)
 @given(
-    st.floats(min_value=np.float32(-0.999), max_value=100.0, width=32),
+    st.floats(min_value=np.float32(-5.0), max_value=100.0, width=32),
     st.floats(min_value=0.0, max_value=1.0, width=32),
 )
 def test_pack_zv_bounds(z, v):

@@ -11,7 +11,10 @@ Round-1 result on TPU v5e:
     MAD = 0.0020 of full scale, pixel correlation = 0.9997,
     lit-support IoU = 0.9990
 
-Usage:  python tools/compare_reference.py [reference_png] [--render out.png]
+Usage:  python tools/compare_reference.py [--reference PNG] [--out PNG] [--reuse]
+
+By default the workload is re-rendered every run (the metric must reflect the
+current code); pass --reuse to compare an existing --out file instead.
 """
 
 import sys
@@ -37,9 +40,17 @@ def compare(ref_path: str, our_path: str) -> dict:
 
 
 def main():
-    ref = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/media/poisson-saturne.png"
-    out = Path("/tmp/parity_render.png")
-    if "--render" in sys.argv or not out.exists():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--reference", default="/root/reference/media/poisson-saturne.png")
+    ap.add_argument("--out", default="/tmp/parity_render.png")
+    ap.add_argument("--reuse", action="store_true",
+                    help="compare an existing --out file instead of re-rendering")
+    args = ap.parse_args()
+    ref = args.reference
+    out = Path(args.out)
+    if not (args.reuse and out.exists()):
         from strange_attractor_tpu import colorize, presets, render
         from strange_attractor_tpu.config import BrightnessConstants, Colors
         from strange_attractor_tpu.utils.export import write_image
@@ -53,7 +64,7 @@ def main():
         )
         state = render(cfg)
         img = np.asarray(jax.device_get(colorize(cfg, state)))
-        write_image(out.with_suffix(""), img, fmt="png", transparent=False, eight_bit=True)
+        out = write_image(out.with_suffix(""), img, fmt="png", transparent=False, eight_bit=True)
     metrics = compare(ref, str(out))
     print(metrics)
     ok = metrics["mad"] < 0.01 and metrics["correlation"] > 0.99
