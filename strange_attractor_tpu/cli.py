@@ -104,8 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write a jax.profiler trace to DIR")
     p.add_argument("--preview-every", dest="preview_every", type=float, default=0.0,
                    metavar="SECONDS",
-                   help="During long renders, write a '<name>.preview' image at this "
-                        "interval showing the ever-improving accumulation")
+                   help="During long renders, write a '<name>-preview' image at this "
+                        "interval showing the ever-improving accumulation "
+                        "(single-device renders only)")
 
     sub = p.add_subparsers(dest="subcommand")
     seq = sub.add_parser(
@@ -349,7 +350,10 @@ def _render_stateful(args, config, render_mod, state):
                 last[0] = now
                 img = np.asarray(jax.device_get(render_mod.colorize(config, partial)))
                 fmt = "pam" if args.pam else "bmp" if args.bmp else "png"
-                write_image(base.parent / (base.name + ".preview"), img, fmt=fmt,
+                # NB: no dot in the preview stem — write_image's with_suffix
+                # would treat ".preview" as an extension and replace it,
+                # silently overwriting the final output
+                write_image(base.parent / (base.name + "-preview"), img, fmt=fmt,
                             transparent=args.transparent, eight_bit=args.eight_bit,
                             silent=True)
 

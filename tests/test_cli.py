@@ -160,3 +160,15 @@ def test_doctor(capsys):
     assert main(["doctor"]) == 0
     out = capsys.readouterr().out
     assert "oracle agreement" in out and "doctor: OK" in out
+
+
+def test_preview_every_writes_separate_file(tmp_path):
+    """Previews must not clobber the final output (regression:
+    Path.with_suffix swallowed the '.preview' marker)."""
+    out = tmp_path / "img"
+    rc = main(["-i", "102400", "-w", "32", "-h", "18", "--lanes", "32",
+               "--chunk-steps", "16", "--seed", "1", "-q", "--single-device",
+               "--preview-every", "0.0001", "-o", str(out)])
+    assert rc == 0
+    assert (tmp_path / "img.png").exists()
+    assert (tmp_path / "img-preview.png").exists()
