@@ -1,0 +1,54 @@
+"""RenderState edge cases and checkpoint round-trips per strategy."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from strange_attractor_tpu.config import BinStrategy
+from strange_attractor_tpu import presets, render, merge
+from strange_attractor_tpu.runtime import RenderState, load_state, save_state
+
+
+def test_empty_state_raises():
+    with pytest.raises(ValueError, match="empty"):
+        RenderState().shape
+
+
+def test_merge_strategy_mismatch_raises():
+    a = RenderState(count=jnp.zeros((2, 2), jnp.uint32), packed=jnp.zeros((2, 2), jnp.uint32))
+    b = RenderState(
+        count=jnp.zeros((2, 2), jnp.uint32),
+        steps=jnp.zeros((2, 2), jnp.float32),
+        zbuf=jnp.full((2, 2), -1.0, jnp.float32),
+    )
+    with pytest.raises(ValueError, match="strategies"):
+        merge(a, b)
+
+
+def test_merge_shape_mismatch_raises():
+    a = RenderState(count=jnp.zeros((2, 2), jnp.uint32), packed=jnp.zeros((2, 2), jnp.uint32))
+    b = RenderState(count=jnp.zeros((3, 2), jnp.uint32), packed=jnp.zeros((3, 2), jnp.uint32))
+    with pytest.raises(ValueError, match="shapes"):
+        merge(a, b)
+
+
+@pytest.mark.parametrize("strategy", [BinStrategy.EXACT, BinStrategy.PACKED, BinStrategy.DEPTH])
+def test_checkpoint_roundtrip_all_strategies(tmp_path, strategy):
+    from strange_attractor_tpu.config import RenderKind
+
+    cfg = presets.poisson_saturne(
+        iterations=5000, width=16, height=9, lanes=32, chunk_steps=16, seed=1,
+        bin_strategy=strategy,
+        render=RenderKind.DEPTH if strategy == BinStrategy.DEPTH else RenderKind.GAS,
+    )
+    st = render(cfg)
+    path = tmp_path / f"{strategy.value}.npz"
+    save_state(str(path), st)
+    loaded = load_state(str(path))
+    assert loaded.strategy == strategy
+    for a, b in zip(st, loaded):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
