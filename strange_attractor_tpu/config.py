@@ -85,7 +85,10 @@ class Palette:
 
     def interpolate_numpy(self, value: np.ndarray) -> np.ndarray:
         """Numpy twin of the device interpolation, for the oracle/tests."""
-        value = np.clip(np.asarray(value, np.float64), 0.0, 0.999999)
+        value = np.asarray(value, np.float64)
+        # only v >= 1.0 clamps (to 0.999999); [0.999999, 1.0) passes through
+        # unchanged (src/lib.rs:443-449)
+        value = np.where(value >= 1.0, 0.999999, np.maximum(value, 0.0))
         value = value * self.count
         n = np.floor(value).astype(np.int64)
         frac = value % 1.0

@@ -84,14 +84,23 @@ def bin_chunk_exact(count, steps, zbuf, flat, z, val):
     ``count``/``steps``/``zbuf`` are flattened (npix,) planes (+1 is NOT
     needed: out-of-range ``flat == npix`` is dropped). ``flat``/``z``/``val``
     are flat point arrays. Returns updated planes.
+
+    Tie semantics: the reference's strict ``z2 > zbuf`` test (src/lib.rs:821)
+    keeps the *earlier* value on equal depths. Cross-chunk ties replicate
+    that exactly (the pre-chunk z-buffer is gathered and must be strictly
+    beaten). Equal-z duplicates *within* one chunk resolve nondeterministically
+    (scatter ``.set`` picks one) — the single remaining measure-zero deviation.
     """
     npix = count.shape[0]
     count = count.at[flat].add(jnp.uint32(1), mode="drop")
     z = z.astype(jnp.float32)
+    # pre-chunk depth: a chunk point tying it must NOT overwrite (strict >)
+    zold = zbuf.at[flat].get(mode="fill", fill_value=float("inf"))
     zbuf = zbuf.at[flat].max(z, mode="drop")
     znew = zbuf.at[flat].get(mode="fill", fill_value=float("-inf"))
-    # winner: reached its pixel's max depth and beat the -1.0 sentinel
-    winner = (z >= znew) & (z > -1.0)
+    # winner: reached its pixel's max depth, strictly beat the pre-chunk
+    # value, and beat the -1.0 sentinel
+    winner = (z >= znew) & (z > zold) & (z > -1.0)
     steps = steps.at[jnp.where(winner, flat, npix)].set(val.astype(jnp.float32), mode="drop")
     return count, steps, zbuf
 

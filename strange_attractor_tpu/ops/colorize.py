@@ -32,8 +32,12 @@ def palette_lookup(stops: np.ndarray, value):
     Returns (..., 3): lerp between neighboring stops then sqrt per channel.
     """
     k = stops.shape[0] - 1
-    v = jnp.clip(value, 0.0, 0.999999) * k
-    n = jnp.floor(v).astype(jnp.int32)  # in [0, k-1]
+    # reference clamp (src/lib.rs:443-449): only v >= 1.0 maps to 0.999999;
+    # values in [0.999999, 1.0) pass through unchanged
+    v = jnp.where(value >= 1.0, jnp.float32(0.999999), jnp.maximum(value, 0.0)) * k
+    # f32 can round v up to exactly k for value within half-an-ulp of 1.0
+    # (the reference's f64 product cannot); clamp the stop index
+    n = jnp.minimum(jnp.floor(v).astype(jnp.int32), k - 1)  # in [0, k-1]
     frac = v % 1.0
 
     lo = [jnp.zeros_like(v) for _ in range(3)]

@@ -201,12 +201,17 @@ def render_sequence_sharded(
         def frames_body(key, cos_f, sin_f):
             key = jax.random.fold_in(key, lax.axis_index("frames"))
 
-            def one(cs):
-                planes = body(key, cs[0], cs[1])
+            def one(cs, local_frame):
+                # fresh trajectories per frame (the reference draws fresh OS
+                # entropy per frame, src/lib.rs:656,748) — without this every
+                # frame in a device row would replay identical seeds
+                planes = body(jax.random.fold_in(key, local_frame), cs[0], cs[1])
                 st = planes_to_state(planes, strategy, (config.height, config.width))
                 return colorize_planes(config, *state_planes(st))
 
-            return jax.vmap(one)(jnp.stack([cos_f, sin_f], axis=1))
+            return jax.vmap(one)(
+                jnp.stack([cos_f, sin_f], axis=1), jnp.arange(cos_f.shape[0])
+            )
 
         fn = jax.jit(
             shard_map(

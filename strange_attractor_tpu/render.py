@@ -32,10 +32,11 @@ from .ops.projection import camera_params, project, rotate_point
 from .runtime import RenderState
 
 _KERNEL_CACHE: dict = {}
-# nonce for seeded progressive calls: 1, 2, ... (0 is the initial render)
+# fallback nonce counters for seeded progressive DEPTH renders, keyed by
+# config fingerprint (see the nonce derivation in :func:`render`)
 import itertools as _itertools
 
-_PROGRESSIVE_NONCE = _itertools.count(1)
+_PROGRESSIVE_NONCES: dict = {}
 
 
 def _dtype(config: Config):
@@ -267,8 +268,19 @@ def render(
     if config.iterations < 1:
         return state
     if key is None and progressive and config.seed is not None:
-        # distinct trajectories per progressive call, deterministic in call order
-        key = jax.random.fold_in(seed_key(config), next(_PROGRESSIVE_NONCE))
+        # distinct trajectories per progressive call. The nonce derives from
+        # the accumulated content, so 'seed=N' reproducibility depends only
+        # on the starting state — never on how many renders any other state
+        # saw earlier in the process.
+        if state.count is not None:
+            nonce = int(jax.device_get(state.count.sum())) & 0xFFFFFFFF
+        else:
+            # DEPTH accumulation is idempotent (pure max), so content can
+            # stagnate; fall back to a per-fingerprint call counter
+            nonce = next(
+                _PROGRESSIVE_NONCES.setdefault(config.fingerprint(), _itertools.count(1))
+            )
+        key = jax.random.fold_in(seed_key(config), nonce)
 
     lanes, chunk_steps, nchunks = plan_schedule(config)
     # split chunks over a few dispatches so long renders report progress;

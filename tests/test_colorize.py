@@ -35,6 +35,27 @@ def test_palette_hand_values():
     np.testing.assert_allclose(pal.interpolate_numpy(5.0), np.sqrt([1.0, 0.25, 0.0]), atol=1e-5)
 
 
+def test_palette_near_one_passes_through():
+    """Only v >= 1.0 clamps to 0.999999; values in [0.999999, 1.0) pass
+    through unchanged (src/lib.rs:443-449) — both paths, incl. the f32 edge
+    where v * count rounds up to exactly count."""
+    pal = Palette.from_rgb([0.0, 1.0], [0.25, 0.25], [1.0, 0.0])
+    # numpy twin (f64): 0.9999995 is between the clamp point and 1.0
+    for v in (0.999999, 0.9999995, float(np.nextafter(1.0, 0.0))):
+        frac = v * 2 % 1.0
+        want = np.sqrt([1.0 * frac + 1.0 * (1 - frac), 0.25, 0.0])
+        np.testing.assert_allclose(pal.interpolate_numpy(v), want, rtol=1e-9)
+    # >= 1.0 clamps exactly like before
+    np.testing.assert_allclose(
+        pal.interpolate_numpy(1.0), pal.interpolate_numpy(5.0), rtol=0
+    )
+    # device path at the largest f32 below 1.0 must not index past the table
+    v32 = np.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
+    got = np.asarray(palette_lookup(pal.stops, jnp.asarray([v32, np.float32(0.5)])))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got[0], np.sqrt([1.0, 0.25, 0.0]), atol=1e-3)
+
+
 def _planes(rng, h=6, w=9):
     count = rng.integers(0, 50, (h, w)).astype(np.uint32)
     steps = rng.random((h, w)).astype(np.float32)

@@ -113,6 +113,24 @@ def test_render_sequence_sharded(cpu_devices):
     assert not np.array_equal(frames[0], frames[1])
 
 
+def test_render_sequence_sharded_fresh_seeds_per_frame(cpu_devices):
+    """Frames sharing a device row must still render distinct trajectories
+    (per-local-frame key fold — round-1 advisor finding): identical angles
+    give statistically-equal but not bitwise-equal canvases."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=128, chunk_steps=32, seed=6,
+    )
+    frames = render_sequence_sharded(cfg, [0.0, 0.0, 0.0, 0.0], cpu_devices, frame_axis=2)
+    assert frames.shape[0] == 4
+    # same row (local frames 0 and 1) and different rows: all distinct seeds
+    assert not np.array_equal(frames[0], frames[1])
+    assert not np.array_equal(frames[0], frames[2])
+    # but the same scene: strong support overlap
+    lit = [(f[..., :3].sum(-1) > 0) for f in frames]
+    iou = (lit[0] & lit[1]).sum() / max(1, (lit[0] | lit[1]).sum())
+    assert iou > 0.5, iou
+
+
 def test_render_sequence_batched_single_device():
     """Frame axis as a vmapped batch on one device (BASELINE configs[4])."""
     from strange_attractor_tpu.render import render_sequence_batched

@@ -47,7 +47,15 @@ def test_short_horizon_matches_oracle_exactly():
     agree = (count == oc).mean()
     assert agree > 0.999, f"count agreement {agree}"
     zb = np.asarray(state.zbuf)
-    assert (np.isclose(zb, oz, atol=1e-5) | (zb == -1) != (oz == -1)).mean() < 0.01
+    # set-masks must coincide exactly, and where both set the depths must
+    # agree. Tolerance: XLA-CPU and numpy f32 steps round differently
+    # (fma/fusion), and ~130 chaotic steps amplify that to ~1e-4 in z
+    # (measured max 6e-4) — use 2e-3, far below the pixel quantum (~2e-2)
+    # that the exact count agreement above already pins down.
+    mask_mismatch = (zb == -1) != (oz == -1)
+    assert mask_mismatch.sum() == 0, f"{mask_mismatch.sum()} set-mask mismatches"
+    value_mismatch = ~np.isclose(zb, oz, atol=2e-3) & (zb != -1) & (oz != -1)
+    assert value_mismatch.mean() < 0.01, f"z disagreement on {value_mismatch.sum()} px"
 
 
 @pytest.mark.parametrize("preset", ["poisson-saturne", "solar-sail"])
@@ -185,6 +193,26 @@ def test_progressive_refinement_adds_new_samples_with_seed():
     assert c2.sum() == 2 * c1.sum()
     # a pure replay would give exactly c2 == 2*c1 everywhere
     assert not np.array_equal(c2, 2 * c1)
+
+
+def test_progressive_nonce_is_state_derived():
+    """A seeded progressive render depends only on its starting state —
+    interleaved unrelated renders must not perturb it (round-1 advisor
+    finding: the old process-global nonce counter leaked call order)."""
+    cfg = presets.poisson_saturne(
+        width=32, height=18, iterations=20_000, lanes=64, seed=9,
+        bin_strategy=BinStrategy.EXACT,
+    )
+    s1 = render(cfg)
+    s2 = render(cfg, s1)
+    # same sequence again, but with unrelated seeded progressive renders
+    # interleaved (these would advance any global counter)
+    other = cfg.replace(seed=77)
+    render(other, render(other))
+    t1 = render(cfg)
+    t2 = render(cfg, t1)
+    np.testing.assert_array_equal(np.asarray(s1.count), np.asarray(t1.count))
+    np.testing.assert_array_equal(np.asarray(s2.count), np.asarray(t2.count))
 
 
 def test_state_shape_mismatch_raises():
