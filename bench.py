@@ -31,6 +31,10 @@ def main() -> None:
     from strange_attractor_tpu import colorize, presets, render
     from strange_attractor_tpu.config import BrightnessConstants, Colors
     from strange_attractor_tpu.render import plan_schedule, precompile
+    from strange_attractor_tpu.utils.profiling import RenderProfile, enable_compilation_cache
+
+    # persistent XLA cache: kernel-iteration rounds recompile nothing
+    enable_compilation_cache()
 
     # full reference workload on TPU; a token run elsewhere (CPU would take
     # tens of minutes at 1e9)
@@ -53,19 +57,21 @@ def main() -> None:
     np.asarray(jax.device_get(colorize(cfg, state)))
 
     # timed: fresh state -> render (the metric) -> colorize -> host fetch
+    prof = RenderProfile(iterations=executed)
     t0 = time.perf_counter()
-    state = render(cfg, key=jax.random.PRNGKey(0))
-    float(state.count.sum())  # hard sync (block_until_ready is unreliable on
-    # the tunneled dev platform; a scalar fetch is not)
-    t_render = time.perf_counter() - t0
-    img = colorize(cfg, state)
-    img_host = np.asarray(jax.device_get(img))
+    with prof.phase("render"):
+        state = render(cfg, key=jax.random.PRNGKey(0))
+        float(state.count.sum())  # hard sync (block_until_ready is unreliable
+        # on the tunneled dev platform; a scalar fetch is not)
+    with prof.phase("colorize+fetch"):
+        img = colorize(cfg, state)
+        img_host = np.asarray(jax.device_get(img))
     wall = time.perf_counter() - t0
 
     assert img_host.shape == (1080, 1920, 4)
     assert img_host[..., :3].max() > 0
 
-    rate = executed / t_render
+    rate = prof.iters_per_sec
     print(
         json.dumps(
             {

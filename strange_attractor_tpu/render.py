@@ -262,8 +262,9 @@ def render(
     elif state.shape != (config.height, config.width):
         raise ValueError(
             f"state canvas {state.shape} does not match config "
-            f"{(config.height, config.width)}; create a fresh state "
-            "(the reference's Runtime is likewise sized per config, src/lib.rs:660-675)"
+            f"{(config.height, config.width)}; use state.set_width_height() "
+            "for a reset state of the new size (the reference's resize "
+            "likewise discards the accumulation, src/lib.rs:666-675)"
         )
     if config.iterations < 1:
         return state

@@ -56,15 +56,10 @@ class RenderState(NamedTuple):
         raise ValueError("empty RenderState")
 
     @classmethod
-    def create(cls, config: Config, strategy: Optional[BinStrategy] = None) -> "RenderState":
-        """Fresh zeroed state (reference ``Runtime::new`` + ``reset``,
-        src/lib.rs:660-699: count 0, steps 0.0, zbuf -1.0)."""
-        import jax
+    def blank(cls, shape: tuple, strategy: BinStrategy) -> "RenderState":
+        """Zeroed planes of a given (H, W) shape and strategy."""
         import jax.numpy as jnp
 
-        if strategy is None or strategy == BinStrategy.AUTO:
-            strategy = config.resolved_bin_strategy(jax.default_backend())
-        shape = (config.height, config.width)
         if strategy == BinStrategy.DEPTH:
             return cls(zbuf=jnp.full(shape, -1.0, jnp.float32))
         count = jnp.zeros(shape, jnp.uint32)
@@ -75,6 +70,27 @@ class RenderState(NamedTuple):
             steps=jnp.zeros(shape, jnp.float32),
             zbuf=jnp.full(shape, -1.0, jnp.float32),
         )
+
+    @classmethod
+    def create(cls, config: Config, strategy: Optional[BinStrategy] = None) -> "RenderState":
+        """Fresh zeroed state (reference ``Runtime::new`` + ``reset``,
+        src/lib.rs:660-699: count 0, steps 0.0, zbuf -1.0)."""
+        import jax
+
+        if strategy is None or strategy == BinStrategy.AUTO:
+            strategy = config.resolved_bin_strategy(jax.default_backend())
+        return cls.blank((config.height, config.width), strategy)
+
+    def set_width_height(self, width: int, height: int) -> "RenderState":
+        """Fit this state to a new canvas size (reference
+        ``Runtime::set_width_height``, src/lib.rs:666-675): if the dimensions
+        already match, the state is returned unchanged (accumulation
+        continues); otherwise a fresh reset state of the new size and the
+        same strategy is returned — the reference likewise reallocates and
+        resets on mismatch, so accumulated data never survives a resize."""
+        if self.shape == (height, width):
+            return self
+        return RenderState.blank((height, width), self.strategy)
 
     def reset(self) -> "RenderState":
         """Zeroed state with the same shape/strategy (src/lib.rs:682-699)."""

@@ -1,51 +1,188 @@
-"""Shell completion script generation.
+"""Shell completion: generation + user-dir install.
 
 The reference offers a ``completion`` subcommand via ``clap_autocomplete``
-(src/bin/main.rs:370-397). Here the scripts are generated from the argparse
-parser definition, printed to stdout for the user to install
-(``--print``-style; auto-install needs root and was the reference's
-documented pain point, README.md:57-62).
+that installs scripts into system shell dirs (root needed, its documented
+pain point) or prints with ``--print`` (src/bin/main.rs:370-397,
+README.md:57-62). Here the scripts are generated from the argparse parser
+definition with *per-option* smarts — value choices (presets, strategies),
+file-path completion for output/state flags, and per-subcommand flag sets —
+and ``--install`` writes to the per-user completion directories no root can
+object to.
 """
 
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
+
+# option dests whose value is a filesystem path -> complete file names
+_PATH_DESTS = frozenset({"name", "save_state", "load_state", "profile"})
 
 
-def _collect_options(parser: argparse.ArgumentParser):
-    opts = []
-    subcommands = []
+def _actions(parser: argparse.ArgumentParser):
+    """(flag actions, {subcommand: subparser}) of one parser level."""
+    opts, subs = [], {}
     for action in parser._actions:  # noqa: SLF001 - argparse has no public API
-        if isinstance(action, argparse._SubParsersAction):
-            subcommands.extend(action.choices)
+        if isinstance(action, argparse._SubParsersAction):  # noqa: SLF001
+            subs.update(action.choices)
+        elif action.option_strings:
+            opts.append(action)
+    return opts, subs
+
+
+def _takes_value(action) -> bool:
+    return action.nargs != 0
+
+
+def _value_words(action):
+    """Completion candidates for an option's value ('' = free-form,
+    None = file path)."""
+    if action.choices:
+        return [str(c) for c in action.choices]
+    if action.dest in _PATH_DESTS:
+        return None
+    return []
+
+
+def _bash(prog: str, parser: argparse.ArgumentParser) -> str:
+    func = "_" + prog.replace("-", "_")
+    top_opts, subs = _actions(parser)
+
+    def words(actions, extra=()):
+        out = [o for a in actions for o in a.option_strings]
+        return " ".join(out + list(extra))
+
+    # per-option value cases, shared across parser levels (flags are unique)
+    cases = []
+    for action in top_opts + [a for sp in subs.values() for a in _actions(sp)[0]]:
+        if not _takes_value(action):
+            continue
+        vals = _value_words(action)
+        pat = "|".join(action.option_strings)
+        if vals is None:
+            cases.append(f'    {pat})\n      COMPREPLY=( $(compgen -f -- "$cur") ); return;;')
+        elif vals:
+            cases.append(
+                f'    {pat})\n      COMPREPLY=( $(compgen -W "{" ".join(vals)}" -- "$cur") ); return;;'
+            )
         else:
-            opts.extend(o for o in action.option_strings if o.startswith("--"))
-            opts.extend(o for o in action.option_strings if not o.startswith("--"))
-    return opts, subcommands
+            cases.append(f"    {pat})\n      return;;")  # free-form value
+
+    sub_branches = "\n".join(
+        f'    {name}) words="{words(_actions(sp)[0])}";;' for name, sp in subs.items()
+    )
+    return f"""{func}() {{
+  local cur prev words sub
+  cur=${{COMP_WORDS[COMP_CWORD]}}
+  prev=${{COMP_WORDS[COMP_CWORD-1]}}
+  case "$prev" in
+{chr(10).join(cases)}
+  esac
+  sub=""
+  local i
+  for ((i=1; i<COMP_CWORD; i++)); do
+    case "${{COMP_WORDS[i]}}" in
+      {"|".join(subs) or "__none__"}) sub=${{COMP_WORDS[i]}}; break;;
+    esac
+  done
+  case "$sub" in
+{sub_branches}
+    *) words="{words(top_opts, subs)}";;
+  esac
+  COMPREPLY=( $(compgen -W "$words" -- "$cur") )
+}}
+complete -F {func} {prog}
+"""
+
+
+def _esc_zsh(text: str) -> str:
+    return (text or "").replace("'", "'\\''").replace("[", "(").replace("]", ")")
+
+
+def _zsh(prog: str, parser: argparse.ArgumentParser) -> str:
+    top_opts, subs = _actions(parser)
+
+    def spec(action) -> str:
+        flag = action.option_strings[-1]
+        desc = _esc_zsh(action.help)
+        if not _takes_value(action):
+            return f"  '{flag}[{desc}]' \\"
+        vals = _value_words(action)
+        if vals is None:
+            return f"  '{flag}[{desc}]:file:_files' \\"
+        if vals:
+            return f"  '{flag}[{desc}]:value:({' '.join(vals)})' \\"
+        return f"  '{flag}[{desc}]:value:' \\"
+
+    lines = [f"#compdef {prog}", "_arguments -s \\"]
+    lines += [spec(a) for a in top_opts]
+    for name, sp in subs.items():
+        lines += [spec(a) for a in _actions(sp)[0]]
+    lines.append(f"  '*::subcommand:({' '.join(subs)})'")
+    return "\n".join(lines) + "\n"
+
+
+def _fish(prog: str, parser: argparse.ArgumentParser) -> str:
+    top_opts, subs = _actions(parser)
+
+    def lines(actions, cond: str):
+        out = []
+        for action in actions:
+            parts = [f"complete -c {prog}"]
+            if cond:
+                parts.append(cond)
+            for o in action.option_strings:
+                parts.append(f"-l {o[2:]}" if o.startswith("--") else f"-s {o[1:]}")
+            if action.help:
+                parts.append(f"-d '{(action.help or '').split('.')[0][:60].replace(chr(39), '')}'")
+            if _takes_value(action):
+                vals = _value_words(action)
+                if vals is None:
+                    parts.append("-r")  # requires an argument; default file completion
+                elif vals:
+                    parts.append(f"-x -a '{' '.join(vals)}'")
+                else:
+                    parts.append("-x")
+            out.append(" ".join(parts))
+        return out
+
+    out = lines(top_opts, f'-n "not __fish_seen_subcommand_from {" ".join(subs)}"' if subs else "")
+    for name, sp in subs.items():
+        out.append(
+            f'complete -c {prog} -n "not __fish_seen_subcommand_from {" ".join(subs)}" -a {name}'
+        )
+        out += lines(_actions(sp)[0], f'-n "__fish_seen_subcommand_from {name}"')
+    return "\n".join(out) + "\n"
 
 
 def completion_script(shell: str, parser: argparse.ArgumentParser) -> str:
     prog = parser.prog
-    func = prog.replace("-", "_")
-    opts, subs = _collect_options(parser)
-    words = " ".join(opts + subs)
     if shell == "bash":
-        return (
-            f"_{func}() {{\n"
-            f"  local cur=${{COMP_WORDS[COMP_CWORD]}}\n"
-            f'  COMPREPLY=( $(compgen -W "{words}" -- "$cur") )\n'
-            f"}}\n"
-            f"complete -F _{func} {prog}\n"
-        )
+        return _bash(prog, parser)
     if shell == "zsh":
-        return (
-            f"#compdef {prog}\n"
-            f"_arguments -s \\\n"
-            + "\n".join(f"  '{o}' \\" for o in opts)
-            + "\n  '*::subcommand:(" + " ".join(subs) + ")'\n"
-        )
+        return _zsh(prog, parser)
     if shell == "fish":
-        lines = [f"complete -c {prog} -l {o.lstrip('-')}" for o in opts if o.startswith("--")]
-        lines += [f"complete -c {prog} -a {s}" for s in subs]
-        return "\n".join(lines) + "\n"
+        return _fish(prog, parser)
     raise ValueError(f"unsupported shell {shell!r}")
+
+
+def install_path(shell: str, prog: str, home: Path | None = None) -> Path:
+    """Per-user completion file location (no root needed, unlike the
+    reference's system-dir install, src/bin/main.rs:389-392)."""
+    home = home or Path.home()
+    if shell == "bash":
+        return home / ".local/share/bash-completion/completions" / prog
+    if shell == "zsh":
+        return home / ".local/share/zsh/site-functions" / f"_{prog}"
+    if shell == "fish":
+        return home / ".config/fish/completions" / f"{prog}.fish"
+    raise ValueError(f"unsupported shell {shell!r}")
+
+
+def install_completion(shell: str, parser: argparse.ArgumentParser, home: Path | None = None) -> Path:
+    """Write the completion script to the user's completion dir; returns the
+    path. zsh users may need the dir on ``fpath``."""
+    path = install_path(shell, parser.prog, home)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(completion_script(shell, parser))
+    return path

@@ -48,20 +48,59 @@ def _png_geometry(arr: np.ndarray):
 
 
 def _filter_scanlines(raw: np.ndarray, h: int) -> bytes:
-    """Per-row None/Up PNG filtering, fully vectorized (row 0 -> None)."""
+    """Adaptive per-row PNG filtering, fully vectorized across rows.
+
+    Like the reference encoder (``FilterType::Adaptive``,
+    src/bin/main.rs:84-88): each scanline tries all five standard filters
+    (None/Sub/Up/Average/Paeth) and keeps the one with the smallest sum of
+    absolute signed residuals — the spec's minimum-sum-of-absolute-differences
+    heuristic. All five candidates are computed as whole-image numpy ops.
+    """
     # jax.device_get from TPU can hand back non-contiguous strided views
     # (padded device layouts); .view() below needs contiguous memory
     raw = np.ascontiguousarray(raw)
     rows = raw.reshape(h, -1).view(np.uint8).reshape(h, -1)
-    up = rows.copy()
-    up[1:] -= rows[:-1]
-    use_up = np.count_nonzero(up, axis=1) < np.count_nonzero(rows, axis=1)
-    use_up[0] = False
     stride = rows.shape[1]
+    # (H, stride) u8 neighbours; the spec treats the row above row 0 and the
+    # pixel left of column 0 as zeros
+    bpp = _bytes_per_pixel(raw)
+    left = np.zeros_like(rows)
+    left[:, bpp:] = rows[:, :-bpp]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    upleft = np.zeros_like(rows)
+    upleft[1:, bpp:] = rows[:-1, :-bpp]
+
+    cand = np.empty((5, h, stride), np.uint8)
+    cand[0] = rows
+    cand[1] = rows - left
+    cand[2] = rows - up
+    # average: floor((left + up) / 2) in full precision, then mod-256 diff
+    cand[3] = rows - ((left.astype(np.uint16) + up) >> 1).astype(np.uint8)
+    # Paeth predictor (PNG spec): nearest of left/up/upleft to left+up-upleft
+    p = left.astype(np.int16) + up - upleft
+    pa, pb, pc = (np.abs(p - t) for t in (left, up, upleft))
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+    cand[4] = rows - pred
+
+    # minimum sum of absolute *signed* residuals, per the spec heuristic
+    # (one candidate at a time: a (5, H, stride) int widening would cost
+    # hundreds of MB at 1080p RGBA16)
+    mag = np.empty((5, h), np.int64)
+    for i in range(5):
+        c = cand[i].astype(np.int32)
+        mag[i] = np.minimum(c, 256 - c).sum(axis=1)
+    pick = mag.argmin(axis=0)
+
     filtered = np.empty((h, 1 + stride), np.uint8)
-    filtered[:, 0] = np.where(use_up, 2, 0)
-    filtered[:, 1:] = np.where(use_up[:, None], up, rows)
+    filtered[:, 0] = pick
+    filtered[:, 1:] = np.take_along_axis(cand, pick[None, :, None], axis=0)[0]
     return filtered.tobytes()
+
+
+def _bytes_per_pixel(raw: np.ndarray) -> int:
+    """Bytes per pixel of the pre-serialization (H, W, C) sample array."""
+    return raw.shape[-1] * raw.itemsize
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:

@@ -60,6 +60,32 @@ class RenderProfile:
         return " ".join(parts)
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Point JAX at a persistent on-disk compilation cache.
+
+    First TPU compiles go through a remote compile service and take tens of
+    seconds to minutes (docs/KERNEL_NOTES.md); with this enabled a second
+    cold process start skips them entirely. Called by the CLI, bench.py and
+    doctor; safe to call repeatedly.
+    """
+    import os
+
+    import jax
+
+    path = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/strange_attractor_tpu/xla")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError):  # pragma: no cover - RO filesystems etc.
+        pass
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace (view with xprof/tensorboard)."""

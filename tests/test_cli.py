@@ -172,3 +172,32 @@ def test_preview_every_writes_separate_file(tmp_path):
     assert rc == 0
     assert (tmp_path / "img.png").exists()
     assert (tmp_path / "img-preview.png").exists()
+
+
+def test_completion_value_choices_and_subcommands():
+    """Generated scripts complete option values (preset names, strategies)
+    and per-subcommand flags — not just a flat word list."""
+    from strange_attractor_tpu.cli import build_parser
+    from strange_attractor_tpu.utils.completion import completion_script
+
+    parser = build_parser()
+    bash = completion_script("bash", parser)
+    assert "poisson-saturne solar-sail" in bash  # -p value choices
+    assert "auto exact packed depth" in bash  # --bin-strategy choices
+    assert "compgen -f" in bash  # file completion for path-valued flags
+    assert "--frames-per-batch" in bash  # sequence-only flag present
+    zsh = completion_script("zsh", parser)
+    assert "_files" in zsh and "(bash zsh fish)" in zsh
+    fish = completion_script("fish", parser)
+    assert "__fish_seen_subcommand_from" in fish
+
+
+def test_completion_install(tmp_path):
+    from strange_attractor_tpu.cli import build_parser
+    from strange_attractor_tpu.utils.completion import install_completion
+
+    parser = build_parser()
+    for shell in ("bash", "zsh", "fish"):
+        path = install_completion(shell, parser, home=tmp_path)
+        assert path.exists() and tmp_path in path.parents
+        assert parser.prog in path.read_text()

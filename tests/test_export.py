@@ -40,9 +40,27 @@ def _decode_png(data: bytes):
         ftype = raw[pos]
         row = np.frombuffer(raw[pos + 1 : pos + 1 + stride], np.uint8).copy()
         pos += 1 + stride
-        if ftype == 2:  # Up
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub (serial: each byte needs the reconstructed left)
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
             row = (row + prev).astype(np.uint8)
-        elif ftype != 0:
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
             raise AssertionError(f"unexpected filter {ftype}")
         out[y] = row
         prev = row
@@ -79,6 +97,20 @@ def test_png_roundtrip(img16, ch, depth):
     data = png_bytes(arr)
     got = _decode_png(data)
     np.testing.assert_array_equal(got, arr)
+
+
+def test_png_adaptive_filtering_shrinks_gradients():
+    """The encoder uses spec-heuristic adaptive filtering like the reference
+    (FilterType::Adaptive, src/bin/main.rs:84-88): on smooth gradients it must
+    beat a filter-None encoding, and still round-trip exactly."""
+    x = np.linspace(0, 65535, 96)[None, :, None]
+    arr = np.ascontiguousarray(np.broadcast_to(x, (54, 96, 3))).astype(np.uint16)
+    data = png_bytes(arr)
+    np.testing.assert_array_equal(_decode_png(data), arr)
+    none_only = zlib.compress(
+        b"".join(b"\x00" + arr[y].astype(">u2").tobytes() for y in range(54)), 6
+    )
+    assert len(data) < len(none_only), (len(data), len(none_only))
 
 
 def test_bmp_roundtrip_via_pil(img16, tmp_path):

@@ -52,3 +52,28 @@ def test_checkpoint_roundtrip_all_strategies(tmp_path, strategy):
             assert b is None
         else:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("strategy", [BinStrategy.EXACT, BinStrategy.PACKED, BinStrategy.DEPTH])
+def test_set_width_height(strategy):
+    """Reference Runtime::set_width_height parity (src/lib.rs:666-675):
+    matching dims keep the state; a mismatch yields a reset state of the new
+    size and the same strategy."""
+    from strange_attractor_tpu.config import RenderKind
+
+    cfg = presets.poisson_saturne(
+        iterations=5000, width=16, height=9, lanes=32, chunk_steps=16, seed=1,
+        bin_strategy=strategy,
+        render=RenderKind.DEPTH if strategy == BinStrategy.DEPTH else RenderKind.GAS,
+    )
+    st = render(cfg)
+    assert st.set_width_height(16, 9) is st
+    resized = st.set_width_height(32, 18)
+    assert resized.shape == (18, 32)
+    assert resized.strategy == strategy
+    if strategy != BinStrategy.DEPTH:
+        assert int(resized.count.sum()) == 0  # reset, like the reference
+    # the resized state accumulates under the resized config
+    st2 = render(cfg.replace(width=32, height=18), resized)
+    planes = [p for p in st2 if p is not None]
+    assert all(p.shape == (18, 32) for p in planes)
