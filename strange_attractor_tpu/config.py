@@ -137,13 +137,24 @@ class BinStrategy(enum.Enum):
     - DEPTH:  one exact f32 z-buffer plane only — all a RenderKind.DEPTH
       output needs — for another 2x less scatter traffic. Such a state
       cannot be colorized as Gas.
-    - AUTO:   on TPU, DEPTH for depth renders else PACKED; EXACT elsewhere.
+    - KERNEL: PACKED-identical output planes, accumulated by the sort-bin
+      Pallas pipeline (ops/kernel_binning.py) instead of XLA scatters —
+      ~2x faster on TPU (the scatters hit a ~8 ns/update scalar floor,
+      docs/KERNEL_NOTES.md). Bit-exact to PACKED: same pack_zv packing,
+      same count/max semantics, so states interchange freely.
+    - AUTO:   on TPU, DEPTH for depth renders else KERNEL; EXACT elsewhere.
     """
 
     EXACT = "exact"
     PACKED = "packed"
     DEPTH = "depth"
+    KERNEL = "kernel"
     AUTO = "auto"
+
+    def planes_kind(self) -> "BinStrategy":
+        """The state-plane layout this strategy accumulates into (KERNEL
+        shares PACKED's planes; they differ only in the accumulation path)."""
+        return BinStrategy.PACKED if self == BinStrategy.KERNEL else self
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,6 +198,8 @@ class Config:
     chunk_steps: Optional[int] = None
     warmup: int = 1000
     bin_strategy: BinStrategy = BinStrategy.AUTO
+    # KERNEL strategy: points per sorted section (None = measured default)
+    kernel_section: Optional[int] = None
     dtype: str = "float32"
     seed: Optional[int] = None
     # Resurrect lanes whose orbit escaped to infinity (see
@@ -231,7 +244,14 @@ class Config:
             return self.bin_strategy
         if platform != "tpu":
             return BinStrategy.EXACT
-        return BinStrategy.DEPTH if self.render == RenderKind.DEPTH else BinStrategy.PACKED
+        return BinStrategy.DEPTH if self.render == RenderKind.DEPTH else BinStrategy.KERNEL
+
+    def resolved_kernel_section(self) -> int:
+        """Points per independently-sorted section in the KERNEL pipeline
+        (measured optimum on v5e: 2^17; docs/KERNEL_NOTES.md round-2 table)."""
+        if self.kernel_section is not None:
+            return max(128, int(self.kernel_section))
+        return 1 << 17
 
     # ---- jit cache key ---------------------------------------------------
     def fingerprint(self) -> bytes:
@@ -258,6 +278,7 @@ class Config:
             self.resolved_chunk_steps(),
             self.warmup,
             self.bin_strategy.value,
+            self.resolved_kernel_section(),
             self.dtype,
             self.reseed_lanes,
         ]

@@ -50,6 +50,7 @@ def lanes_mesh(devices=None) -> Mesh:
 def merge_collective(planes: tuple, strategy: BinStrategy, axis: str) -> tuple:
     """Merge per-device canvases along ``axis`` (semantics of
     ``Runtime::merge``, src/lib.rs:708-738, as collectives)."""
+    strategy = strategy.planes_kind()  # KERNEL merges like PACKED
     if strategy == BinStrategy.DEPTH:
         return (lax.pmax(planes[0], axis),)
     if strategy == BinStrategy.PACKED:
@@ -138,6 +139,7 @@ def render_sharded(config: Config, devices=None, key=None) -> RenderState:
 
 def planes_to_state(planes, strategy: BinStrategy, shape) -> RenderState:
     """Reassemble a RenderState from flat accumulator planes."""
+    strategy = strategy.planes_kind()
     if strategy == BinStrategy.PACKED:
         return RenderState(count=planes[0].reshape(shape), packed=planes[1].reshape(shape))
     if strategy == BinStrategy.DEPTH:

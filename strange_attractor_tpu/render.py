@@ -117,7 +117,7 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
         screen = jnp.stack([sx, sy, sz], axis=-1)
         val = transform(delta, screen, view)
         # previous point advances even when out of bounds (src/lib.rs:789-795)
-        if strategy == BinStrategy.PACKED:
+        if strategy.planes_kind() == BinStrategy.PACKED:  # PACKED and KERNEL
             emitted = (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
         elif strategy == BinStrategy.DEPTH:
             emitted = (flat, z2.astype(jnp.float32))
@@ -151,6 +151,61 @@ def _reseed_dead_lanes(config: Config, key, cur, prev, age, dt):
     return key, cur, prev, age
 
 
+def _bin_fn(config: Config, strategy: BinStrategy):
+    """planes, emitted -> planes for one chunk, per strategy.
+
+    KERNEL accumulates into *padded* canvas planes (see
+    :mod:`ops.kernel_binning`); the other strategies scatter into (npix,)
+    planes (:mod:`ops.binning`).
+    """
+    if strategy == BinStrategy.KERNEL:
+        from .ops import kernel_binning as kb
+
+        npix = config.width * config.height
+        section = config.resolved_kernel_section()
+        interpret = jax.default_backend() != "tpu"
+
+        def bin_planes(planes, emitted):
+            return kb.bin_chunk_kernel(
+                *planes, *emitted, npix=npix, section=section, interpret=interpret
+            )
+
+        return bin_planes
+    if strategy == BinStrategy.PACKED:
+        return lambda planes, emitted: binning.bin_chunk_packed(*planes, *emitted)
+    if strategy == BinStrategy.DEPTH:
+        return lambda planes, emitted: binning.bin_chunk_depth(*planes, *emitted)
+    return lambda planes, emitted: binning.bin_chunk_exact(*planes, *emitted)
+
+
+def _state_to_planes(state: RenderState, strategy: BinStrategy, config: Config):
+    """Flatten a state into the accumulation-plane tuple for ``strategy``."""
+    if strategy == BinStrategy.KERNEL:
+        from .ops import kernel_binning as kb
+
+        return kb.pad_planes(
+            state.count.reshape(-1), state.packed.reshape(-1), config.width * config.height
+        )
+    if strategy == BinStrategy.PACKED:
+        return (state.count.reshape(-1), state.packed.reshape(-1))
+    if strategy == BinStrategy.DEPTH:
+        return (state.zbuf.reshape(-1),)
+    return (state.count.reshape(-1), state.steps.reshape(-1), state.zbuf.reshape(-1))
+
+
+def _planes_to_state(planes, strategy: BinStrategy, shape, copy: bool = False):
+    """Inverse of :func:`_state_to_planes` (KERNEL planes are sliced back)."""
+    npix = shape[0] * shape[1]
+    c = (lambda x: jnp.array(x, copy=True)) if copy else (lambda x: x)
+    p = [c(pl)[:npix].reshape(shape) for pl in planes]
+    kind = strategy.planes_kind()
+    if kind == BinStrategy.PACKED:
+        return RenderState(count=p[0], packed=p[1])
+    if kind == BinStrategy.DEPTH:
+        return RenderState(zbuf=p[0])
+    return RenderState(count=p[0], steps=p[1], zbuf=p[2])
+
+
 def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     """Compile (init, run) for a config; cached on the angle-free fingerprint
     (the camera angle is a traced cos/sin pair so sequences don't recompile)."""
@@ -181,7 +236,7 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
         warmed = lax.fori_loop(0, config.warmup, lambda i, p: attractor.step(p), p0)
         return warmed
 
-    nplanes = 2 if strategy == BinStrategy.PACKED else 3
+    bin_planes = _bin_fn(config, strategy)
 
     def chunk(carry, _):
         planes, cur, prev, age, rkey, cos_v, sin_v = carry
@@ -191,12 +246,7 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
             step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps
         )
         emitted = tuple(e.reshape(-1) for e in emitted)
-        if strategy == BinStrategy.PACKED:
-            planes = binning.bin_chunk_packed(*planes, *emitted)
-        elif strategy == BinStrategy.DEPTH:
-            planes = binning.bin_chunk_depth(*planes, *emitted)
-        else:
-            planes = binning.bin_chunk_exact(*planes, *emitted)
+        planes = bin_planes(planes, emitted)
         return (planes, cur, prev, age, rkey, cos_v, sin_v), None
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -254,18 +304,21 @@ def render(
     src/lib.rs:742-744 but gives no way to observe it mid-render).
     """
     progressive = state is not None
-    strategy = None if state is None else state.strategy
-    if strategy is None:
-        strategy = config.resolved_bin_strategy(jax.default_backend())
+    resolved = config.resolved_bin_strategy(jax.default_backend())
     if state is None:
+        strategy = resolved
         state = RenderState.create(config, strategy)
-    elif state.shape != (config.height, config.width):
-        raise ValueError(
-            f"state canvas {state.shape} does not match config "
-            f"{(config.height, config.width)}; use state.set_width_height() "
-            "for a reset state of the new size (the reference's resize "
-            "likewise discards the accumulation, src/lib.rs:666-675)"
-        )
+    else:
+        if state.shape != (config.height, config.width):
+            raise ValueError(
+                f"state canvas {state.shape} does not match config "
+                f"{(config.height, config.width)}; use state.set_width_height() "
+                "for a reset state of the new size (the reference's resize "
+                "likewise discards the accumulation, src/lib.rs:666-675)"
+            )
+        # plane-compatible: e.g. a PACKED-plane state resumes through the
+        # KERNEL accumulation path (they share layout and semantics)
+        strategy = resolved if resolved.planes_kind() == state.strategy else state.strategy
     if config.iterations < 1:
         return state
     if key is None and progressive and config.seed is not None:
@@ -309,23 +362,12 @@ def render(
         _, run = _build_kernels(config, strategy, n)
         return run(planes, cur, prev, age, rkey, cos_v, sin_v)
 
-    if strategy == BinStrategy.PACKED:
-        planes = (state.count.reshape(-1), state.packed.reshape(-1))
-    elif strategy == BinStrategy.DEPTH:
-        planes = (state.zbuf.reshape(-1),)
-    else:
-        planes = (state.count.reshape(-1), state.steps.reshape(-1), state.zbuf.reshape(-1))
+    planes = _state_to_planes(state, strategy, config)
 
     def _partial_state(copy: bool = False):
         # progress callbacks may retain the state past the next dispatch,
         # which donates (invalidates) the working planes — hand them a copy
-        c = (lambda x: jnp.array(x, copy=True)) if copy else (lambda x: x)
-        p = [c(pl).reshape(shape) for pl in planes]
-        if strategy == BinStrategy.PACKED:
-            return RenderState(count=p[0], packed=p[1])
-        if strategy == BinStrategy.DEPTH:
-            return RenderState(zbuf=p[0])
-        return RenderState(count=p[0], steps=p[1], zbuf=p[2])
+        return _planes_to_state(planes, strategy, shape, copy=copy)
 
     t0 = time.perf_counter()
     for _ in range(outer_full):
@@ -426,6 +468,11 @@ def _canvas_body(
 
         if strategy == BinStrategy.DEPTH:
             acc = (jnp.full((npix,), -1.0, jnp.float32),)
+        elif strategy == BinStrategy.KERNEL:
+            from .ops import kernel_binning as kb
+
+            size = kb.padded_size(npix)
+            acc = (jnp.zeros((size,), jnp.uint32), jnp.zeros((size,), jnp.uint32))
         elif strategy == BinStrategy.PACKED:
             acc = (jnp.zeros((npix,), jnp.uint32), jnp.zeros((npix,), jnp.uint32))
         else:
@@ -434,6 +481,7 @@ def _canvas_body(
                 jnp.zeros((npix,), jnp.float32),
                 jnp.full((npix,), -1.0, jnp.float32),
             )
+        bin_planes = _bin_fn(config, strategy)
 
         def chunk(carry, _):
             planes, cur, prev, age, rkey = carry
@@ -443,16 +491,13 @@ def _canvas_body(
                 step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps
             )
             emitted = tuple(e.reshape(-1) for e in emitted)
-            if strategy == BinStrategy.PACKED:
-                planes = binning.bin_chunk_packed(*planes, *emitted)
-            elif strategy == BinStrategy.DEPTH:
-                planes = binning.bin_chunk_depth(*planes, *emitted)
-            else:
-                planes = binning.bin_chunk_exact(*planes, *emitted)
+            planes = bin_planes(planes, emitted)
             return (planes, cur, prev, age, rkey), None
 
         (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
-        return acc
+        # KERNEL's padded planes slice back so downstream merge/colorize see
+        # the standard (npix,) PACKED layout
+        return tuple(p[:npix] for p in acc)
 
     return body
 

@@ -60,6 +60,7 @@ class RenderState(NamedTuple):
         """Zeroed planes of a given (H, W) shape and strategy."""
         import jax.numpy as jnp
 
+        strategy = strategy.planes_kind()  # KERNEL states store PACKED planes
         if strategy == BinStrategy.DEPTH:
             return cls(zbuf=jnp.full(shape, -1.0, jnp.float32))
         count = jnp.zeros(shape, jnp.uint32)

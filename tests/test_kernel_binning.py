@@ -1,0 +1,170 @@
+"""BinStrategy.KERNEL sort-bin pipeline vs the sequential oracle.
+
+Runs the Pallas apply in interpreter mode on the CPU backend (the real-TPU
+compiled path is exercised by tools/check_kernels.py and bench.py);
+the binning semantics — count every in-bounds point, packed plane takes the
+per-pixel max, out-of-bounds dropped — must be bit-exact on injected streams.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from strange_attractor_tpu.ops import kernel_binning as kb
+from strange_attractor_tpu.ops.binning import pack_zv
+from strange_attractor_tpu.oracle import oracle_bin
+
+
+def _run_kernel(npix, flat, packed, section=1 << 10, state=None):
+    if state is None:
+        size = kb.padded_size(npix)
+        cnt = jnp.zeros((size,), jnp.uint32)
+        pk = jnp.zeros((size,), jnp.uint32)
+    else:
+        cnt, pk = state
+    cnt, pk = kb.bin_chunk_kernel(
+        cnt, pk,
+        jnp.asarray(flat, jnp.int32),
+        jnp.asarray(packed, jnp.uint32),
+        npix=npix, section=section, interpret=True,
+    )
+    return cnt, pk
+
+
+def _reference(npix, flat, packed):
+    cnt = np.zeros(npix + 1, np.uint64)
+    pk = np.zeros(npix + 1, np.uint32)
+    for f, p in zip(flat, packed):
+        cnt[f] += 1
+        pk[f] = max(pk[f], p)
+    return cnt[:npix].astype(np.uint32), pk[:npix]
+
+
+@pytest.mark.parametrize("npix", [128 * 128, 320 * 180])
+def test_kernel_matches_reference_random(npix):
+    rng = np.random.default_rng(0)
+    n = 1 << 12
+    flat = rng.integers(0, npix, n).astype(np.int32)
+    flat[rng.random(n) < 0.05] = npix  # out-of-bounds convention
+    packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    cnt, pk = _run_kernel(npix, flat, packed)
+    want_c, want_p = _reference(npix, flat, packed)
+    np.testing.assert_array_equal(np.asarray(cnt)[:npix], want_c)
+    np.testing.assert_array_equal(np.asarray(pk)[:npix], want_p)
+
+
+def test_kernel_heavy_duplicates_and_ties():
+    """Many points per pixel, exact packed ties, runs spanning row/section
+    boundaries — the winner bookkeeping's hard cases."""
+    npix = 128 * 128
+    rng = np.random.default_rng(1)
+    n = 1 << 12
+    flat = rng.integers(0, 50, n).astype(np.int32)  # 50 hot pixels
+    packed = rng.integers(0, 8, n, dtype=np.uint64).astype(np.uint32)  # tiny value space: ties
+    cnt, pk = _run_kernel(npix, flat, packed, section=1 << 9)
+    want_c, want_p = _reference(npix, flat, packed)
+    np.testing.assert_array_equal(np.asarray(cnt)[:npix], want_c)
+    np.testing.assert_array_equal(np.asarray(pk)[:npix], want_p)
+
+
+def test_kernel_accumulates_across_chunks():
+    npix = 128 * 128
+    rng = np.random.default_rng(2)
+    chunks = [
+        (rng.integers(0, npix, 600).astype(np.int32),
+         rng.integers(0, 2**32, 600, dtype=np.uint64).astype(np.uint32))
+        for _ in range(3)
+    ]
+    state = None
+    for flat, packed in chunks:
+        state = _run_kernel(npix, flat, packed, state=state)
+    all_f = np.concatenate([c[0] for c in chunks])
+    all_p = np.concatenate([c[1] for c in chunks])
+    want_c, want_p = _reference(npix, all_f, all_p)
+    np.testing.assert_array_equal(np.asarray(state[0])[:npix], want_c)
+    np.testing.assert_array_equal(np.asarray(state[1])[:npix], want_p)
+
+
+def test_kernel_vs_packed_oracle_semantics():
+    """End-to-end packed semantics vs oracle_bin through pack_zv: the KERNEL
+    strategy must land exactly where the PACKED XLA path lands."""
+    npix = 64 * 36
+    rng = np.random.default_rng(3)
+    n = 3000
+    flat = rng.integers(0, npix, n).astype(np.int64)
+    oob = rng.random(n) < 0.1
+    z = rng.normal(0, 0.5, n).astype(np.float32)
+    val = rng.random(n).astype(np.float32)
+
+    packed = np.asarray(pack_zv(jnp.asarray(z), jnp.asarray(val)))
+    kflat = np.where(oob, npix, flat).astype(np.int32)
+    cnt, pk = _run_kernel(npix, kflat, packed, section=1 << 10)
+
+    oc, os_, oz = oracle_bin(64, 36, np.where(oob, -1, flat), z, val)
+    np.testing.assert_array_equal(np.asarray(cnt)[:npix], oc.astype(np.uint32))
+    # packed winner must equal the max packed over each pixel's stream
+    want_pk = np.zeros(npix + 1, np.uint32)
+    for f, p in zip(np.where(oob, npix, flat), packed):
+        want_pk[f] = max(want_pk[f], p)
+    np.testing.assert_array_equal(np.asarray(pk)[:npix], want_pk[:npix])
+
+
+def test_kernel_all_oob_chunk():
+    npix = 128 * 128
+    flat = np.full(300, npix, np.int32)
+    packed = np.full(300, 7, np.uint32)
+    cnt, pk = _run_kernel(npix, flat, packed)
+    assert int(np.asarray(cnt)[:npix].sum()) == 0
+    assert int(np.asarray(pk)[:npix].max()) == 0
+
+
+def test_kernel_strategy_end_to_end_matches_packed():
+    """Full render with BinStrategy.KERNEL == BinStrategy.PACKED bit-for-bit
+    on the same trajectories (they share pack_zv packing and max/count
+    semantics; only the accumulation path differs)."""
+    import jax
+    from strange_attractor_tpu import presets, render
+    from strange_attractor_tpu.config import BinStrategy
+    from strange_attractor_tpu.render import seed_key
+
+    cfg = presets.poisson_saturne(
+        width=64, height=36, iterations=24_000, lanes=64, chunk_steps=125, seed=11,
+    )
+    key = seed_key(cfg)
+    st_k = render(cfg.replace(bin_strategy=BinStrategy.KERNEL), key=key)
+    st_p = render(cfg.replace(bin_strategy=BinStrategy.PACKED), key=key)
+    assert st_k.strategy == BinStrategy.PACKED  # KERNEL stores PACKED planes
+    np.testing.assert_array_equal(np.asarray(st_k.count), np.asarray(st_p.count))
+    np.testing.assert_array_equal(np.asarray(st_k.packed), np.asarray(st_p.packed))
+
+
+def test_kernel_resumes_packed_state():
+    """A PACKED-plane state is plane-compatible with the KERNEL path:
+    progressive resume through either strategy accumulates consistently."""
+    import jax
+    from strange_attractor_tpu import presets, render
+    from strange_attractor_tpu.config import BinStrategy
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=8_000, lanes=64, chunk_steps=125, seed=5,
+    )
+    st1 = render(cfg.replace(bin_strategy=BinStrategy.PACKED), key=jax.random.PRNGKey(0))
+    st2 = render(
+        cfg.replace(bin_strategy=BinStrategy.KERNEL), st1, key=jax.random.PRNGKey(1)
+    )
+    st2_ref = render(
+        cfg.replace(bin_strategy=BinStrategy.PACKED), st1, key=jax.random.PRNGKey(1)
+    )
+    np.testing.assert_array_equal(np.asarray(st2.count), np.asarray(st2_ref.count))
+    np.testing.assert_array_equal(np.asarray(st2.packed), np.asarray(st2_ref.packed))
+    assert int(st2.count.sum()) > int(st1.count.sum())
+
+
+def test_canvas_geometry_and_padding():
+    for npix in (35, 128 * 128, 1920 * 1080, 1800 * 2000):
+        alloc_rows, sentinel = kb.canvas_geometry(npix)
+        assert alloc_rows * kb.LANES >= npix
+        assert sentinel >= npix
+        assert alloc_rows % kb.WINDOW_ROWS == 0
+        assert sentinel == (alloc_rows - kb.WINDOW_ROWS) * kb.LANES

@@ -1,0 +1,97 @@
+"""On-TPU correctness + throughput check for the production KERNEL binning
+pipeline (ops/kernel_binning.py) — the *compiled* Mosaic path, which the CPU
+test suite only covers in interpreter mode.
+
+Part of the verify recipe (.claude/skills/verify/SKILL.md); also run before
+trusting a bench number after kernel changes:
+
+    python tools/check_kernels.py [n_points] [section_log2]
+
+Exits non-zero on any exactness mismatch vs a sequential numpy reference.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def main() -> int:
+    from strange_attractor_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    from strange_attractor_tpu.ops import kernel_binning as kb
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    seclog = int(sys.argv[2]) if len(sys.argv) > 2 else 17
+    npix = 1920 * 1080
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        print("WARNING: no TPU visible — running in interpreter mode")
+        n = min(n, 1 << 13)
+
+    rng = np.random.default_rng(0)
+    flat = rng.integers(0, npix, n).astype(np.int32)
+    flat[rng.random(n) < 0.02] = npix  # out-of-bounds convention
+    packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+
+    size = kb.padded_size(npix)
+    cnt = jnp.zeros((size,), jnp.uint32)
+    pk = jnp.zeros((size,), jnp.uint32)
+    t0 = time.perf_counter()
+    cnt, pk = kb.bin_chunk_kernel(
+        cnt, pk, jnp.asarray(flat), jnp.asarray(packed),
+        npix=npix, section=1 << seclog, interpret=interpret,
+    )
+    got_c = np.asarray(cnt)[:npix]
+    got_p = np.asarray(pk)[:npix]
+    print(f"compile+run: {time.perf_counter() - t0:.1f}s")
+
+    want_c = np.zeros(npix + 1, np.uint64)
+    want_p = np.zeros(npix + 1, np.uint32)
+    for f, p in zip(flat, packed):
+        want_c[f] += 1
+        want_p[f] = max(want_p[f], p)
+    ok_c = (got_c == want_c[:npix].astype(np.uint32)).all()
+    ok_p = (got_p == want_p[:npix]).all()
+    print(f"count exact: {ok_c}  packed exact: {ok_p}")
+    if not (ok_c and ok_p):
+        bad = np.nonzero(got_p != want_p[:npix])[0][:5]
+        print("first packed mismatches:", bad, got_p[bad], want_p[bad])
+        return 1
+
+    if not interpret:
+        # throughput: in-jit repetition buries the ~4ms dispatch latency
+        fj, pj = jnp.asarray(flat), jnp.asarray(packed)
+
+        @jax.jit
+        def pipe(cnt, pk):
+            def body(c, _):
+                cnt, pk = c
+                f = fj ^ (cnt[0] & 1).astype(jnp.int32)
+                return kb.bin_chunk_kernel(
+                    cnt, pk, f, pj, npix=npix, section=1 << seclog
+                ), None
+
+            (cnt, pk), _ = lax.scan(body, (cnt, pk), None, length=16)
+            return cnt, pk
+
+        out = pipe(cnt, pk)
+        float(out[0][0])
+        t0 = time.perf_counter()
+        out = pipe(cnt, pk)
+        float(out[0][0])
+        ns = (time.perf_counter() - t0) / (16 * n) * 1e9
+        print(f"sort+apply: {ns:.2f} ns/pt ({1e3 / ns:.0f}M pts/s) at section 2^{seclog}")
+    print("check_kernels: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

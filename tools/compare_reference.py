@@ -47,22 +47,38 @@ def main():
     ap.add_argument("--out", default="/tmp/parity_render.png")
     ap.add_argument("--reuse", action="store_true",
                     help="compare an existing --out file instead of re-rendering")
+    ap.add_argument("--bin-strategy", default="auto",
+                    choices=["auto", "exact", "packed", "depth", "kernel"],
+                    help="accumulation strategy for the parity render "
+                         "(records each strategy's own parity figure)")
     args = ap.parse_args()
     ref = args.reference
     out = Path(args.out)
     if not (args.reuse and out.exists()):
+        import time
+
         from strange_attractor_tpu import colorize, presets, render
-        from strange_attractor_tpu.config import BrightnessConstants, Colors
+        from strange_attractor_tpu.config import BinStrategy, BrightnessConstants, Colors
+        from strange_attractor_tpu.render import plan_schedule, precompile
         from strange_attractor_tpu.utils.export import write_image
+        from strange_attractor_tpu.utils.profiling import enable_compilation_cache
         import jax
 
+        enable_compilation_cache()
         cfg = presets.poisson_saturne(
             iterations=1_000_000_000,
             colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
             seed=0,
             silent=False,
+            bin_strategy=BinStrategy(args.bin_strategy),
         )
+        precompile(cfg)
+        t0 = time.perf_counter()
         state = render(cfg)
+        jax.device_get(state.count.sum() if state.count is not None else state.zbuf.max())
+        lanes, chunk, nchunks = plan_schedule(cfg)
+        dt = time.perf_counter() - t0
+        print(f"[{args.bin_strategy}] {lanes * chunk * nchunks / dt:.3e} iters/s ({dt:.2f}s)")
         img = np.asarray(jax.device_get(colorize(cfg, state)))
         out = write_image(out.with_suffix(""), img, fmt="png", transparent=False, eight_bit=True)
     metrics = compare(ref, str(out))
