@@ -89,13 +89,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Parallel trajectory lanes (default: auto from iterations)")
     p.add_argument("--chunk-steps", type=int, default=None,
                    help="Map steps per binning flush (default: auto)")
-    p.add_argument("--bin-strategy", choices=["auto", "exact", "packed", "depth", "kernel"],
+    p.add_argument("--bin-strategy",
+                   choices=["auto", "exact", "packed", "depth", "kernel", "exact-kernel"],
                    default="auto",
                    help="Canvas accumulation strategy. 'auto' picks 'kernel' on TPU "
                         "(sort-bin Pallas pipeline, ~2.5x 'packed'); kernel/packed "
                         "quantize depth to ~2^-11 relative and the palette position "
-                        "to 1/4096 — pass 'exact' for full-f32 reference-faithful "
-                        "accumulation at ~5x the runtime (see BASELINE.md)")
+                        "to 1/4096 — pass 'exact-kernel' for full-f32 "
+                        "reference-faithful accumulation via the same fast pipeline, "
+                        "or 'exact' for the XLA scatter path (see BASELINE.md)")
     p.add_argument("--seed", type=int, default=None, help="Deterministic RNG seed")
     p.add_argument("--reseed-lanes", dest="reseed_lanes", action="store_true",
                    help="Resurrect trajectory lanes whose orbit escaped to infinity "

@@ -139,9 +139,14 @@ class BinStrategy(enum.Enum):
       cannot be colorized as Gas.
     - KERNEL: PACKED-identical output planes, accumulated by the sort-bin
       Pallas pipeline (ops/kernel_binning.py) instead of XLA scatters —
-      ~2x faster on TPU (the scatters hit a ~8 ns/update scalar floor,
+      ~2.5x faster on TPU (the scatters hit a ~8 ns/update scalar floor,
       docs/KERNEL_NOTES.md). Bit-exact to PACKED: same pack_zv packing,
       same count/max semantics, so states interchange freely.
+    - EXACT_KERNEL: EXACT-identical full-f32 planes and reference z-test
+      semantics through the same sort-bin pipeline — ~3.5x faster than
+      EXACT on TPU, and *stronger* than the scatter path on one edge:
+      equal-(pixel, z) duplicates within a chunk resolve deterministically
+      to the earliest-emitted value (the reference's strict z2 > zbuf).
     - AUTO:   on TPU, DEPTH for depth renders else KERNEL; EXACT elsewhere.
     """
 
@@ -149,12 +154,18 @@ class BinStrategy(enum.Enum):
     PACKED = "packed"
     DEPTH = "depth"
     KERNEL = "kernel"
+    EXACT_KERNEL = "exact-kernel"
     AUTO = "auto"
 
     def planes_kind(self) -> "BinStrategy":
-        """The state-plane layout this strategy accumulates into (KERNEL
-        shares PACKED's planes; they differ only in the accumulation path)."""
-        return BinStrategy.PACKED if self == BinStrategy.KERNEL else self
+        """The state-plane layout this strategy accumulates into (the
+        *_KERNEL strategies share the XLA strategies' planes; they differ
+        only in the accumulation path)."""
+        if self == BinStrategy.KERNEL:
+            return BinStrategy.PACKED
+        if self == BinStrategy.EXACT_KERNEL:
+            return BinStrategy.EXACT
+        return self
 
 
 @dataclasses.dataclass(frozen=True)

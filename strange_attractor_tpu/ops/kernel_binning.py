@@ -1,4 +1,4 @@
-"""BinStrategy.KERNEL: sort-bin canvas accumulation for TPU.
+"""Sort-bin canvas accumulation for TPU (BinStrategy.KERNEL / EXACT_KERNEL).
 
 The reference's hot loop does per-point random-access writes into megapixel
 buffers and names that as its own bottleneck (src/lib.rs:31-35). The XLA
@@ -6,35 +6,48 @@ scatter path (ops/binning.py) hits the TPU scalar-scatter floor of ~8 ns per
 update (docs/KERNEL_NOTES.md). This module replaces the scatters with a
 vectorized pipeline:
 
-1. **Pair sort (XLA)**: each chunk of emitted points — (flat pixel u32,
-   packed depth+value u32) — is split into sections of ``section`` points
-   and lexicographically sorted by (flat, packed) with ``lax.sort``.
-   Measured on v5e: 2.5-3.1 ns/pt (it beats the hand-rolled Pallas bitonic
-   from round 1 by ~5x; see docs/KERNEL_NOTES.md round-2 table).
-2. **Row apply (Pallas)**: the canvas lives in VMEM as (alloc_rows, 128)
-   u32 planes (flat pixel p at [p // 128, p % 128]). Each 128 consecutive
-   sorted points form one sublane row; a ``fori_loop`` walks rows with
-   dynamic *sublane* slices (dynamic lane slicing is unsupported — this
-   layout is what makes the loop legal and keeps the Mosaic program tiny:
-   ~1 s compiles vs the 255-805 s of round 1's 128-column unroll).
-   Per row, one-hot matrices are built by comparing a sublane iota against
-   the lane-broadcast pixel rows, and a single stacked lane-contraction
-   matmul ``dot_general(e_row, [e_col | 4 byte planes], ((1,), (1,)))``
-   yields the window's count tile and the packed winner's four byte planes
-   at once. Contributions accumulate in an f32 VMEM scratch tile and flush
-   to the canvas only when the 16384-pixel window changes (sorted order
-   visits windows monotonically), so canvas read-modify-write traffic is
-   ~one sweep per section instead of one per row.
+1. **Pair sort (XLA)**: each chunk of emitted points is split into sections
+   of ``section`` points and sorted with ``lax.sort`` (stable).
+   Measured on v5e: 2.5-4.5 ns/pt — it beats round 1's hand-rolled Pallas
+   bitonic by ~5x (docs/KERNEL_NOTES.md round-2 table).
+2. **Row apply (Pallas)**: a delta canvas lives in VMEM as
+   (alloc_rows, 128) u32 planes (flat pixel p at [p // 128, p % 128]).
+   Each 128 consecutive sorted points form one sublane row; a ``fori_loop``
+   walks rows with dynamic *sublane* slices (dynamic lane slicing is
+   unsupported — this layout keeps the Mosaic program tiny: ~1 s compiles
+   vs the 255-805 s of round 1's 128-column unroll). Per row, one-hot
+   matrices are built by comparing a sublane iota against lane-broadcast
+   pixel rows, and a single stacked lane-contraction matmul
+   ``dot_general(e_row, [e_col | byte planes...], ((1,), (1,)))`` yields
+   the window's count tile and the winners' byte planes at once.
+   Contributions accumulate in an f32 VMEM scratch tile and flush to the
+   delta canvas when the 16384-pixel window changes (sorted order visits
+   windows monotonically), so canvas traffic is ~one sweep per section.
+3. **Delta merge (XLA)**: the kernel emits per-chunk *delta* planes
+   (zeroed at grid step 0) folded into the persistent planes with an XLA
+   add/max/z-test. Carrying the canvas through ``input_output_aliases``
+   inside a ``lax.scan`` corrupted planes on real hardware (KERNEL_NOTES);
+   the delta merge costs ~0.06 ns/pt of HBM traffic and is fusable.
 
-Winner correctness: within a section the points of one pixel form one
-contiguous run whose *last* element has the maximal packed value (pair
-sort); ``is_end`` marks exactly one point per pixel per row, so the byte
-sums hold each winner's bytes exactly (<= 255 each, exact in bf16/f32).
-Rows that conservatively mark their last lane as an end can only inject a
-smaller-or-equal packed value, which the canvas ``max`` absorbs. Counts
-count every point, ends or not — matching the reference's unconditional
-``count[i,j] += 1`` (src/lib.rs:807-816) with the z-test applied only to
-the packed plane (src/lib.rs:818-833).
+Two winner disciplines share the machinery:
+
+- **KERNEL** (PACKED semantics): points sorted by (flat, packed)
+  ascending; each pixel run's *last* element holds the max packed value,
+  so ``is_end`` marks exactly one point per pixel per section and the byte
+  sums hold the winner's bytes exactly (<= 255 each, exact in bf16/f32).
+  Cross-section/chunk merge is a plain ``maximum``.
+- **EXACT_KERNEL** (reference-faithful semantics): points sorted by
+  (flat, ~mono(z)) ascending — i.e. z *descending* — with the stable sort
+  preserving emission order among exact (flat, z) ties, so each run's
+  *first* element is the strict-greater-z winner with earliest-wins tie
+  behavior, exactly the reference's ``z2 > zbuf`` test (src/lib.rs:818-833)
+  including equal-z duplicates within one chunk (which the XLA scatter
+  path resolves nondeterministically). ``is_start`` marks it; the winner's
+  z-key and f32 value bits ride as byte planes; merges compare z strictly
+  so earlier chunks keep ties.
+
+Counts count every point, winners or not — matching the reference's
+unconditional ``count[i,j] += 1`` (src/lib.rs:807-816).
 
 Out-of-bounds points (``flat == npix`` from the step function) are remapped
 to a sentinel pixel inside a garbage window appended after the canvas, so
@@ -52,9 +65,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .binning import _inv_mono_u32, _mono_u32
+
 LANES = 128
 WINDOW_ROWS = 128  # canvas rows per apply window (= 16384 pixels)
-DEFAULT_SECTION = 1 << 16
+DEFAULT_SECTION = 1 << 17
 
 
 def canvas_geometry(npix: int) -> tuple[int, int]:
@@ -66,154 +81,233 @@ def canvas_geometry(npix: int) -> tuple[int, int]:
     return alloc_rows, sentinel
 
 
-def _apply_kernel(f_ref, p_ref, cnt_ref, pk_ref, acc_ref, nrows: int):
-    """One sorted section -> delta-canvas accumulation (see module docstring).
+def _round_pow2(n: int) -> int:
+    """Largest power of two <= n (sections are whole 128-point rows)."""
+    return 1 << max(7, (n.bit_length() - 1))
 
-    The kernel produces a per-chunk *delta* canvas (zeroed on the first grid
-    step) that the caller folds into the persistent canvas with an XLA
-    add/max — input/output aliasing of a carried canvas inside ``lax.scan``
-    corrupted planes on real hardware (round-2 note in KERNEL_NOTES.md),
-    and the delta merge costs only ~0.06 ns/pt of HBM traffic.
+
+def _winner_mask(f_ref, r, nrows, lane1, *, first: bool):
+    """(f_row, mask): one winner position per pixel run per section.
+
+    ``first=False`` marks the last point of each run (max by ascending
+    sort); ``first=True`` marks the first (max-z + earliest tie by the
+    descending-z stable sort). Row boundaries compare against the adjacent
+    row so the mark stays unique within a section — the scratch SUMS byte
+    planes across rows, so duplicates would corrupt winners.
     """
-    sub = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    lane1 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    f_row = f_ref[0, pl.ds(r, 1), :]
+    if first:
+        f_adj = f_ref[0, pl.ds(jnp.maximum(r - 1, 0), 1), :]
+        other = jnp.where(lane1 == 0, pltpu.roll(f_adj, 1, 1), pltpu.roll(f_row, 1, 1))
+        mask = (f_row != other) | ((lane1 == 0) & (r == 0))
+    else:
+        f_adj = f_ref[0, pl.ds(jnp.minimum(r + 1, nrows - 1), 1), :]
+        other = jnp.where(lane1 == 127, pltpu.roll(f_adj, 127, 1), pltpu.roll(f_row, 127, 1))
+        mask = (f_row != other) | ((lane1 == 127) & (r == nrows - 1))
+    return f_row, mask
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        cnt_ref[:, :] = jnp.zeros_like(cnt_ref)
-        pk_ref[:, :] = jnp.zeros_like(pk_ref)
 
-    acc_ref[:, :] = jnp.zeros_like(acc_ref)
-
-    def flush(cur):
-        # write the accumulated window tile back to the canvas
-        @pl.when(cur >= 0)
-        def _():
-            base = cur * WINDOW_ROWS
-            a = acc_ref[:, :]
-            cnt_w = a[:, :128].astype(jnp.int32).astype(jnp.uint32)
-            b0 = a[:, 128:256].astype(jnp.int32).astype(jnp.uint32)
-            b1 = a[:, 256:384].astype(jnp.int32).astype(jnp.uint32)
-            b2 = a[:, 384:512].astype(jnp.int32).astype(jnp.uint32)
-            b3 = a[:, 512:640].astype(jnp.int32).astype(jnp.uint32)
-            pk_new = (b3 << 24) | (b2 << 16) | (b1 << 8) | b0
-            cnt_ref[pl.ds(base, 128), :] += cnt_w
-            old = pk_ref[pl.ds(base, 128), :]
-            pk_ref[pl.ds(base, 128), :] = jnp.where(old < pk_new, pk_new, old)
-            acc_ref[:, :] = jnp.zeros_like(acc_ref)
-
-    def row_body(r, cur):
-        f_row = f_ref[0, pl.ds(r, 1), :]  # (1, 128) u32, sorted
-        p_row = p_ref[0, pl.ds(r, 1), :]
-        # segment ends: the last point of each pixel's run holds its max
-        # packed value (pair sort). Exactness matters — the window scratch
-        # SUMS byte planes across rows, so each pixel must contribute at most
-        # one end per section: lane 127 compares against the NEXT row's first
-        # point (rolled into lane 127), and only the section's final row
-        # forces an end (cross-section duplicates are absorbed by the canvas
-        # max, not the sums).
-        f_next = f_ref[0, pl.ds(jnp.minimum(r + 1, nrows - 1), 1), :]
-        nxt = jnp.where(
-            lane1 == 127, pltpu.roll(f_next, 127, 1), pltpu.roll(f_row, 127, 1)
-        )
-        is_end = (f_row != nxt) | ((lane1 == 127) & (r == nrows - 1))
-        fi = f_row.astype(jnp.int32)
-        crow = fi >> 7
-        ccol = fi & 127
-        wmin = jnp.min(crow) // WINDOW_ROWS
-        wmax = jnp.max(crow) // WINDOW_ROWS
-
-        endb = is_end.astype(jnp.bfloat16)
-        e_col = (sub == ccol).astype(jnp.bfloat16)  # (128 pixcol, 128 pts)
-        planes = [e_col]
+def _stack_planes(e_col, maskb, payload_rows):
+    """[e_col | 4 byte planes per payload row] stacked on sublanes."""
+    planes = [e_col]
+    for row in payload_rows:
         for b in range(4):
-            vb = ((p_row >> (8 * b)) & 255).astype(jnp.int32).astype(jnp.bfloat16)
-            planes.append(e_col * (vb * endb))
-        stack = jnp.concatenate(planes, axis=0)  # (640, 128 pts)
+            vb = ((row >> (8 * b)) & 255).astype(jnp.int32).astype(jnp.bfloat16)
+            planes.append(e_col * (vb * maskb))
+    return jnp.concatenate(planes, axis=0)
 
-        def win_body(state):
-            w, cur = state
 
-            @pl.when(cur != w)
+def _u32_from_bytes(a, off):
+    """Recombine 4 accumulated byte planes (f32, each < 256) to uint32."""
+    bs = [a[:, 128 * (off + b): 128 * (off + b + 1)].astype(jnp.int32).astype(jnp.uint32)
+          for b in range(4)]
+    return (bs[3] << 24) | (bs[2] << 16) | (bs[1] << 8) | bs[0]
+
+
+def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn):
+    """Shared row-walk kernel: count + ``n_payload`` byte-decomposed winner
+    payloads, window-scratch accumulation, ``flush_fn(acc_ref, refs, cur)``
+    writing one window back to the delta planes."""
+    width = 128 * (1 + 4 * n_payload)
+
+    def kernel(f_ref, *rest):
+        payload_refs = rest[:n_payload]
+        out_refs = rest[n_payload:-1]
+        acc_ref = rest[-1]
+        sub = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        lane1 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for ref in out_refs:
+                ref[:, :] = jnp.zeros_like(ref)
+
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+        def flush(cur):
+            @pl.when(cur >= 0)
             def _():
-                flush(cur)
+                flush_fn(acc_ref, out_refs, cur)
+                acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-            e_row = (sub == (crow - w * WINDOW_ROWS)).astype(jnp.bfloat16)
-            out = lax.dot_general(
-                e_row, stack, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (128 pixrow, 640)
-            acc_ref[:, :] += out
-            return w + 1, w
+        def row_body(r, cur):
+            f_row, mask = _winner_mask(f_ref, r, nrows, lane1, first=first)
+            fi = f_row.astype(jnp.int32)
+            crow = fi >> 7
+            ccol = fi & 127
+            wmin = jnp.min(crow) // WINDOW_ROWS
+            wmax = jnp.max(crow) // WINDOW_ROWS
+            e_col = (sub == ccol).astype(jnp.bfloat16)
+            stack = _stack_planes(
+                e_col, mask.astype(jnp.bfloat16),
+                [ref[0, pl.ds(r, 1), :] for ref in payload_refs],
+            )
 
-        _, cur = lax.while_loop(lambda s: s[0] <= wmax, win_body, (wmin, cur))
-        return cur
+            def win_body(state):
+                w, cur = state
 
-    cur = lax.fori_loop(0, nrows, row_body, jnp.int32(-1))
-    flush(cur)
+                @pl.when(cur != w)
+                def _():
+                    flush(cur)
+
+                e_row = (sub == (crow - w * WINDOW_ROWS)).astype(jnp.bfloat16)
+                out = lax.dot_general(
+                    e_row, stack, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (128, width)
+                acc_ref[:, :] += out
+                return w + 1, w
+
+            _, cur = lax.while_loop(lambda s: s[0] <= wmax, win_body, (wmin, cur))
+            return cur
+
+        cur = lax.fori_loop(0, nrows, row_body, jnp.int32(-1))
+        flush(cur)
+
+    return kernel, width
 
 
-@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret"))
-def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
-                     section: int = DEFAULT_SECTION, interpret: bool = False):
-    """Accumulate one point chunk into padded canvas planes.
+def _flush_packed(acc_ref, out_refs, cur):
+    cnt_ref, pk_ref = out_refs
+    base = cur * WINDOW_ROWS
+    a = acc_ref[:, :]
+    cnt_ref[pl.ds(base, 128), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
+    pk_new = _u32_from_bytes(a, 1)
+    old = pk_ref[pl.ds(base, 128), :]
+    pk_ref[pl.ds(base, 128), :] = jnp.where(old < pk_new, pk_new, old)
 
-    ``count``/``packed`` are flattened padded planes of ``padded_size(npix)``
-    elements (see :func:`pad_planes`). ``flat`` is int32 with ``npix``
-    marking out-of-bounds points (the step function's convention);
-    ``packed_update`` is the uint32 (depth, value) packing of
-    ``ops.binning.pack_zv``. Returns updated (count, packed).
-    """
+
+def _flush_exact(acc_ref, out_refs, cur):
+    cnt_ref, zd_ref, vb_ref = out_refs
+    base = cur * WINDOW_ROWS
+    a = acc_ref[:, :]
+    cnt_ref[pl.ds(base, 128), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
+    zd_new = _u32_from_bytes(a, 1)  # descending-z key; 0 == no winner here
+    vb_new = _u32_from_bytes(a, 5)  # winner's f32 value bits
+    zd_old = zd_ref[pl.ds(base, 128), :]
+    # smaller nonzero key = greater z; strict < keeps the earlier section's
+    # winner on exact z ties (the reference's z2 > zbuf, src/lib.rs:821)
+    take = (zd_new != 0) & ((zd_old == 0) | (zd_new < zd_old))
+    zd_ref[pl.ds(base, 128), :] = jnp.where(take, zd_new, zd_old)
+    vb_old = vb_ref[pl.ds(base, 128), :]
+    vb_ref[pl.ds(base, 128), :] = jnp.where(take, vb_new, vb_old)
+
+
+def _sections(npix, flat, payloads, section, pad_values):
+    """Sentinel-map + pad + section-reshape + stable sort (keys: flat and
+    the first payload; remaining payloads ride along)."""
     alloc_rows, sentinel = canvas_geometry(npix)
     m = flat.size
     sec = min(section, _round_pow2(m))
     pad = (-m) % sec
     fu = jnp.where(flat == npix, jnp.uint32(sentinel), flat.astype(jnp.uint32))
+    arrays = [fu, *payloads]
     if pad:
-        fu = jnp.concatenate([fu, jnp.full((pad,), sentinel, jnp.uint32)])
-        packed_update = jnp.concatenate([packed_update, jnp.zeros((pad,), jnp.uint32)])
-    S = fu.size // sec
+        arrays = [
+            jnp.concatenate([a, jnp.full((pad,), v, a.dtype)])
+            for a, v in zip(arrays, [jnp.uint32(sentinel), *pad_values])
+        ]
+    S = arrays[0].size // sec
     R_s = sec // LANES
-    fs, ps = lax.sort((fu.reshape(S, sec), packed_update.reshape(S, sec)), dimension=1, num_keys=2)
+    arrays = lax.sort(
+        tuple(a.reshape(S, sec) for a in arrays), dimension=1, num_keys=2
+    )
+    return [a.reshape(S, R_s, LANES) for a in arrays], S, R_s, alloc_rows
 
-    kern = functools.partial(_apply_kernel, nrows=R_s)
-    dcnt, dpk = pl.pallas_call(
+
+def _run_apply(sorted_arrays, S, R_s, alloc_rows, *, first, flush_fn, n_out, interpret):
+    kern, width = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn)
+    return pl.pallas_call(
         kern,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, R_s, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_s, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((alloc_rows, LANES), jnp.uint32)] * 2,
+            pl.BlockSpec((1, R_s, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ] * len(sorted_arrays),
+        out_shape=[jax.ShapeDtypeStruct((alloc_rows, LANES), jnp.uint32)] * n_out,
         out_specs=[
             pl.BlockSpec((alloc_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        ] * 2,
-        scratch_shapes=[pltpu.VMEM((128, 640), jnp.float32)],
+        ] * n_out,
+        scratch_shapes=[pltpu.VMEM((128, width), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(fs.reshape(S, R_s, LANES), ps.reshape(S, R_s, LANES))
-    count = count + dcnt.reshape(-1)
-    packed = jnp.maximum(packed, dpk.reshape(-1))
+    )(*sorted_arrays)
+
+
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret"))
+def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
+                     section: int = DEFAULT_SECTION, interpret: bool = False):
+    """PACKED-semantics accumulation of one point chunk (KERNEL strategy).
+
+    ``count``/``packed`` are the standard flattened (npix,) planes. ``flat``
+    is int32 with ``npix`` marking out-of-bounds points; ``packed_update``
+    is the uint32 packing of :func:`ops.binning.pack_zv`. Returns updated
+    (count, packed) — bit-identical to :func:`ops.binning.bin_chunk_packed`.
+    """
+    sorted_arrays, S, R_s, alloc_rows = _sections(
+        npix, flat, [packed_update], section, [jnp.uint32(0)]
+    )
+    dcnt, dpk = _run_apply(
+        sorted_arrays, S, R_s, alloc_rows,
+        first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
+    )
+    count = count + dcnt.reshape(-1)[:npix]
+    packed = jnp.maximum(packed, dpk.reshape(-1)[:npix])
     return count, packed
 
 
-def _round_pow2(n: int) -> int:
-    """Largest power of two <= n (sections must be 128-row pow2 blocks)."""
-    return 1 << max(7, (n.bit_length() - 1))
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret"))
+def bin_chunk_kernel_exact(count, steps, zbuf, flat, z, val, *, npix: int,
+                           section: int = DEFAULT_SECTION, interpret: bool = False):
+    """Reference-faithful accumulation (EXACT_KERNEL strategy).
 
-
-def padded_size(npix: int) -> int:
-    """Flat length of the padded canvas planes for ``npix`` pixels."""
-    alloc_rows, _ = canvas_geometry(npix)
-    return alloc_rows * LANES
-
-
-def pad_planes(count, packed, npix: int):
-    """Grow standard (npix,) planes to the padded kernel layout."""
-    extra = padded_size(npix) - npix
-    z = jnp.zeros((extra,), jnp.uint32)
-    return jnp.concatenate([count, z]), jnp.concatenate([packed, z])
-
-
-def slice_planes(count_pad, packed_pad, npix: int):
-    """Back to standard (npix,) planes (drops padding + the garbage window)."""
-    return count_pad[:npix], packed_pad[:npix]
+    Same planes/semantics as :func:`ops.binning.bin_chunk_exact` — full f32
+    ``steps``/``zbuf``, strict ``z2 > zbuf`` with earlier-wins ties — but
+    ~3.5x faster on TPU, and deterministic for equal-(pixel, z) duplicates
+    within one chunk where the scatter path is not (stable sort keeps
+    emission order).
+    """
+    # descending-z ascending key; NaN z arrives as -inf (step fn), whose key
+    # is huge but nonzero — only "no winner" encodes as 0. Canonicalize
+    # -0.0 -> +0.0 first: the monotone map orders them as distinct keys but
+    # the reference's float compare ties them (strict > keeps the earlier
+    # point, verified against a stream with both zero signs on-chip).
+    z = jnp.where(z == 0.0, jnp.float32(0.0), z)
+    zdesc = ~_mono_u32(z)
+    valbits = lax.bitcast_convert_type(val.astype(jnp.float32), jnp.uint32)
+    sorted_arrays, S, R_s, alloc_rows = _sections(
+        npix, flat, [zdesc, valbits], section, [jnp.uint32(0), jnp.uint32(0)]
+    )
+    dcnt, dzd, dvb = _run_apply(
+        sorted_arrays, S, R_s, alloc_rows,
+        first=True, flush_fn=_flush_exact, n_out=3, interpret=interpret,
+    )
+    count = count + dcnt.reshape(-1)[:npix]
+    zd = dzd.reshape(-1)[:npix]
+    z_new = _inv_mono_u32(~zd)
+    # strict z-test vs the standing canvas: chunk ties keep the earlier value
+    take = (zd != 0) & (z_new > zbuf)
+    zbuf = jnp.where(take, z_new, zbuf)
+    steps = jnp.where(
+        take, lax.bitcast_convert_type(dvb.reshape(-1)[:npix], jnp.float32), steps
+    )
+    return count, steps, zbuf

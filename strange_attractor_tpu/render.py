@@ -152,23 +152,24 @@ def _reseed_dead_lanes(config: Config, key, cur, prev, age, dt):
 
 
 def _bin_fn(config: Config, strategy: BinStrategy):
-    """planes, emitted -> planes for one chunk, per strategy.
-
-    KERNEL accumulates into *padded* canvas planes (see
-    :mod:`ops.kernel_binning`); the other strategies scatter into (npix,)
-    planes (:mod:`ops.binning`).
-    """
-    if strategy == BinStrategy.KERNEL:
+    """planes, emitted -> planes for one chunk, per strategy. All strategies
+    operate on the standard flattened (npix,) planes; the *_KERNEL ones run
+    the sort-bin pipeline (:mod:`ops.kernel_binning`) instead of XLA
+    scatters (:mod:`ops.binning`)."""
+    if strategy in (BinStrategy.KERNEL, BinStrategy.EXACT_KERNEL):
         from .ops import kernel_binning as kb
 
         npix = config.width * config.height
         section = config.resolved_kernel_section()
         interpret = jax.default_backend() != "tpu"
+        fn = (
+            kb.bin_chunk_kernel
+            if strategy == BinStrategy.KERNEL
+            else kb.bin_chunk_kernel_exact
+        )
 
         def bin_planes(planes, emitted):
-            return kb.bin_chunk_kernel(
-                *planes, *emitted, npix=npix, section=section, interpret=interpret
-            )
+            return fn(*planes, *emitted, npix=npix, section=section, interpret=interpret)
 
         return bin_planes
     if strategy == BinStrategy.PACKED:
@@ -180,24 +181,18 @@ def _bin_fn(config: Config, strategy: BinStrategy):
 
 def _state_to_planes(state: RenderState, strategy: BinStrategy, config: Config):
     """Flatten a state into the accumulation-plane tuple for ``strategy``."""
-    if strategy == BinStrategy.KERNEL:
-        from .ops import kernel_binning as kb
-
-        return kb.pad_planes(
-            state.count.reshape(-1), state.packed.reshape(-1), config.width * config.height
-        )
-    if strategy == BinStrategy.PACKED:
+    kind = strategy.planes_kind()
+    if kind == BinStrategy.PACKED:
         return (state.count.reshape(-1), state.packed.reshape(-1))
-    if strategy == BinStrategy.DEPTH:
+    if kind == BinStrategy.DEPTH:
         return (state.zbuf.reshape(-1),)
     return (state.count.reshape(-1), state.steps.reshape(-1), state.zbuf.reshape(-1))
 
 
 def _planes_to_state(planes, strategy: BinStrategy, shape, copy: bool = False):
-    """Inverse of :func:`_state_to_planes` (KERNEL planes are sliced back)."""
-    npix = shape[0] * shape[1]
+    """Inverse of :func:`_state_to_planes`."""
     c = (lambda x: jnp.array(x, copy=True)) if copy else (lambda x: x)
-    p = [c(pl)[:npix].reshape(shape) for pl in planes]
+    p = [c(pl).reshape(shape) for pl in planes]
     kind = strategy.planes_kind()
     if kind == BinStrategy.PACKED:
         return RenderState(count=p[0], packed=p[1])
@@ -466,14 +461,10 @@ def _canvas_body(
         age = jnp.zeros((lanes,), jnp.int32)
         rkey = jax.random.fold_in(key, 0x5EED)
 
-        if strategy == BinStrategy.DEPTH:
+        kind = strategy.planes_kind()
+        if kind == BinStrategy.DEPTH:
             acc = (jnp.full((npix,), -1.0, jnp.float32),)
-        elif strategy == BinStrategy.KERNEL:
-            from .ops import kernel_binning as kb
-
-            size = kb.padded_size(npix)
-            acc = (jnp.zeros((size,), jnp.uint32), jnp.zeros((size,), jnp.uint32))
-        elif strategy == BinStrategy.PACKED:
+        elif kind == BinStrategy.PACKED:
             acc = (jnp.zeros((npix,), jnp.uint32), jnp.zeros((npix,), jnp.uint32))
         else:
             acc = (
@@ -495,9 +486,7 @@ def _canvas_body(
             return (planes, cur, prev, age, rkey), None
 
         (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
-        # KERNEL's padded planes slice back so downstream merge/colorize see
-        # the standard (npix,) PACKED layout
-        return tuple(p[:npix] for p in acc)
+        return acc
 
     return body
 

@@ -1,9 +1,10 @@
-"""BinStrategy.KERNEL sort-bin pipeline vs the sequential oracle.
+"""KERNEL / EXACT_KERNEL sort-bin pipelines vs the sequential oracle.
 
 Runs the Pallas apply in interpreter mode on the CPU backend (the real-TPU
-compiled path is exercised by tools/check_kernels.py and bench.py);
-the binning semantics — count every in-bounds point, packed plane takes the
-per-pixel max, out-of-bounds dropped — must be bit-exact on injected streams.
+compiled path is exercised by tools/check_kernels.py and bench.py); the
+binning semantics — count every in-bounds point, packed plane takes the
+per-pixel max, EXACT planes follow the strict z-test with earliest-wins
+ties, out-of-bounds dropped — must be bit-exact on injected streams.
 """
 
 import numpy as np
@@ -18,18 +19,32 @@ from strange_attractor_tpu.oracle import oracle_bin
 
 def _run_kernel(npix, flat, packed, section=1 << 10, state=None):
     if state is None:
-        size = kb.padded_size(npix)
-        cnt = jnp.zeros((size,), jnp.uint32)
-        pk = jnp.zeros((size,), jnp.uint32)
+        cnt = jnp.zeros((npix,), jnp.uint32)
+        pk = jnp.zeros((npix,), jnp.uint32)
     else:
         cnt, pk = state
-    cnt, pk = kb.bin_chunk_kernel(
+    return kb.bin_chunk_kernel(
         cnt, pk,
         jnp.asarray(flat, jnp.int32),
         jnp.asarray(packed, jnp.uint32),
         npix=npix, section=section, interpret=True,
     )
-    return cnt, pk
+
+
+def _run_exact(npix, flat, z, val, section=1 << 10, state=None):
+    if state is None:
+        cnt = jnp.zeros((npix,), jnp.uint32)
+        steps = jnp.zeros((npix,), jnp.float32)
+        zbuf = jnp.full((npix,), -1.0, jnp.float32)
+    else:
+        cnt, steps, zbuf = state
+    return kb.bin_chunk_kernel_exact(
+        cnt, steps, zbuf,
+        jnp.asarray(flat, jnp.int32),
+        jnp.asarray(z, jnp.float32),
+        jnp.asarray(val, jnp.float32),
+        npix=npix, section=section, interpret=True,
+    )
 
 
 def _reference(npix, flat, packed):
@@ -50,8 +65,8 @@ def test_kernel_matches_reference_random(npix):
     packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     cnt, pk = _run_kernel(npix, flat, packed)
     want_c, want_p = _reference(npix, flat, packed)
-    np.testing.assert_array_equal(np.asarray(cnt)[:npix], want_c)
-    np.testing.assert_array_equal(np.asarray(pk)[:npix], want_p)
+    np.testing.assert_array_equal(np.asarray(cnt), want_c)
+    np.testing.assert_array_equal(np.asarray(pk), want_p)
 
 
 def test_kernel_heavy_duplicates_and_ties():
@@ -64,8 +79,8 @@ def test_kernel_heavy_duplicates_and_ties():
     packed = rng.integers(0, 8, n, dtype=np.uint64).astype(np.uint32)  # tiny value space: ties
     cnt, pk = _run_kernel(npix, flat, packed, section=1 << 9)
     want_c, want_p = _reference(npix, flat, packed)
-    np.testing.assert_array_equal(np.asarray(cnt)[:npix], want_c)
-    np.testing.assert_array_equal(np.asarray(pk)[:npix], want_p)
+    np.testing.assert_array_equal(np.asarray(cnt), want_c)
+    np.testing.assert_array_equal(np.asarray(pk), want_p)
 
 
 def test_kernel_accumulates_across_chunks():
@@ -82,8 +97,8 @@ def test_kernel_accumulates_across_chunks():
     all_f = np.concatenate([c[0] for c in chunks])
     all_p = np.concatenate([c[1] for c in chunks])
     want_c, want_p = _reference(npix, all_f, all_p)
-    np.testing.assert_array_equal(np.asarray(state[0])[:npix], want_c)
-    np.testing.assert_array_equal(np.asarray(state[1])[:npix], want_p)
+    np.testing.assert_array_equal(np.asarray(state[0]), want_c)
+    np.testing.assert_array_equal(np.asarray(state[1]), want_p)
 
 
 def test_kernel_vs_packed_oracle_semantics():
@@ -99,15 +114,101 @@ def test_kernel_vs_packed_oracle_semantics():
 
     packed = np.asarray(pack_zv(jnp.asarray(z), jnp.asarray(val)))
     kflat = np.where(oob, npix, flat).astype(np.int32)
-    cnt, pk = _run_kernel(npix, kflat, packed, section=1 << 10)
+    cnt, pk = _run_kernel(npix, kflat, packed)
 
-    oc, os_, oz = oracle_bin(64, 36, np.where(oob, -1, flat), z, val)
-    np.testing.assert_array_equal(np.asarray(cnt)[:npix], oc.astype(np.uint32))
-    # packed winner must equal the max packed over each pixel's stream
+    oc, _, _ = oracle_bin(64, 36, np.where(oob, -1, flat), z, val)
+    np.testing.assert_array_equal(np.asarray(cnt), oc.astype(np.uint32))
     want_pk = np.zeros(npix + 1, np.uint32)
     for f, p in zip(np.where(oob, npix, flat), packed):
         want_pk[f] = max(want_pk[f], p)
-    np.testing.assert_array_equal(np.asarray(pk)[:npix], want_pk[:npix])
+    np.testing.assert_array_equal(np.asarray(pk), want_pk[:npix])
+
+
+def test_exact_kernel_matches_oracle_bin():
+    """EXACT_KERNEL == the sequential oracle on all three planes, including
+    the strict z-test with the -1.0 sentinel."""
+    npix = 64 * 36
+    rng = np.random.default_rng(4)
+    n = 4000
+    flat = rng.integers(0, npix, n).astype(np.int64)
+    oob = rng.random(n) < 0.1
+    z = rng.normal(0, 0.5, n).astype(np.float32)
+    z[rng.random(n) < 0.05] = -2.0  # below the sentinel: counted, never wins
+    val = rng.random(n).astype(np.float32)
+
+    cnt, steps, zbuf = _run_exact(npix, np.where(oob, npix, flat).astype(np.int32), z, val)
+    oc, os_, oz = oracle_bin(64, 36, np.where(oob, -1, flat), z, val)
+    np.testing.assert_array_equal(np.asarray(cnt), oc.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(zbuf), oz)
+    np.testing.assert_array_equal(np.asarray(steps), os_)
+
+
+def test_exact_kernel_tie_semantics():
+    """Equal-(pixel, z) duplicates: the EARLIEST-emitted value wins — the
+    reference's strict z2 > zbuf applied in stream order, which the XLA
+    scatter path can only approximate (its within-chunk ties are
+    nondeterministic)."""
+    npix = 128 * 128
+    flat = np.array([7, 7, 7, 9, 9], np.int32)
+    z = np.array([0.5, 0.5, 0.25, 0.5, 0.5], np.float32)
+    val = np.array([0.1, 0.9, 0.7, 0.3, 0.4], np.float32)
+    cnt, steps, zbuf = _run_exact(npix, flat, z, val)
+    assert int(np.asarray(cnt)[7]) == 3 and int(np.asarray(cnt)[9]) == 2
+    assert np.asarray(zbuf)[7] == np.float32(0.5)
+    assert np.asarray(steps)[7] == np.float32(0.1)  # earliest of the z-tie
+    assert np.asarray(steps)[9] == np.float32(0.3)
+
+    # cross-chunk tie: a later chunk tying the standing depth must not win
+    state = (cnt, steps, zbuf)
+    cnt, steps, zbuf = _run_exact(
+        npix, np.array([7], np.int32), np.array([0.5], np.float32),
+        np.array([0.99], np.float32), state=state,
+    )
+    assert np.asarray(steps)[7] == np.float32(0.1)
+    # ... but a strictly greater depth does
+    cnt, steps, zbuf = _run_exact(
+        npix, np.array([7], np.int32), np.array([0.6], np.float32),
+        np.array([0.42], np.float32), state=(cnt, steps, zbuf),
+    )
+    assert np.asarray(steps)[7] == np.float32(0.42)
+    assert np.asarray(zbuf)[7] == np.float32(0.6)
+
+
+def test_exact_kernel_signed_zero_ties():
+    """-0.0 and +0.0 are numerically equal: the strict z-test must treat
+    them as a tie (earlier point wins), even though the monotone sort key
+    would order them (found on-chip; CLAUDE.md zero-canonicalization rule)."""
+    npix = 128 * 128
+    flat = np.array([3, 3], np.int32)
+    z = np.array([-0.0, 0.0], np.float32)
+    val = np.array([0.25, 0.75], np.float32)
+    cnt, steps, zbuf = _run_exact(npix, flat, z, val)
+    assert np.asarray(steps)[3] == np.float32(0.25)  # earlier wins the tie
+    assert np.asarray(zbuf)[3] == np.float32(0.0)
+    # and the reverse emission order
+    cnt, steps, zbuf = _run_exact(npix, flat, z[::-1].copy(), val)
+    assert np.asarray(steps)[3] == np.float32(0.25)
+
+
+def test_exact_kernel_accumulates_across_chunks():
+    npix = 96 * 54
+    rng = np.random.default_rng(5)
+    state = None
+    all_parts = []
+    for _ in range(3):
+        n = 900
+        flat = rng.integers(0, npix, n).astype(np.int64)
+        z = rng.normal(0, 0.5, n).astype(np.float32)
+        val = rng.random(n).astype(np.float32)
+        all_parts.append((flat, z, val))
+        state = _run_exact(npix, flat.astype(np.int32), z, val, state=state)
+    fa = np.concatenate([p[0] for p in all_parts])
+    za = np.concatenate([p[1] for p in all_parts])
+    va = np.concatenate([p[2] for p in all_parts])
+    oc, os_, oz = oracle_bin(96, 54, fa, za, va)
+    np.testing.assert_array_equal(np.asarray(state[0]), oc.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(state[2]), oz)
+    np.testing.assert_array_equal(np.asarray(state[1]), os_)
 
 
 def test_kernel_all_oob_chunk():
@@ -115,15 +216,14 @@ def test_kernel_all_oob_chunk():
     flat = np.full(300, npix, np.int32)
     packed = np.full(300, 7, np.uint32)
     cnt, pk = _run_kernel(npix, flat, packed)
-    assert int(np.asarray(cnt)[:npix].sum()) == 0
-    assert int(np.asarray(pk)[:npix].max()) == 0
+    assert int(np.asarray(cnt).sum()) == 0
+    assert int(np.asarray(pk).max()) == 0
 
 
 def test_kernel_strategy_end_to_end_matches_packed():
     """Full render with BinStrategy.KERNEL == BinStrategy.PACKED bit-for-bit
     on the same trajectories (they share pack_zv packing and max/count
     semantics; only the accumulation path differs)."""
-    import jax
     from strange_attractor_tpu import presets, render
     from strange_attractor_tpu.config import BinStrategy
     from strange_attractor_tpu.render import seed_key
@@ -137,6 +237,26 @@ def test_kernel_strategy_end_to_end_matches_packed():
     assert st_k.strategy == BinStrategy.PACKED  # KERNEL stores PACKED planes
     np.testing.assert_array_equal(np.asarray(st_k.count), np.asarray(st_p.count))
     np.testing.assert_array_equal(np.asarray(st_k.packed), np.asarray(st_p.packed))
+
+
+def test_exact_kernel_end_to_end_matches_exact():
+    """Full render with EXACT_KERNEL == EXACT bit-for-bit on the same
+    trajectories (real orbits have no exact z ties, so the scatter path's
+    tie nondeterminism cannot show)."""
+    from strange_attractor_tpu import presets, render
+    from strange_attractor_tpu.config import BinStrategy
+    from strange_attractor_tpu.render import seed_key
+
+    cfg = presets.poisson_saturne(
+        width=64, height=36, iterations=24_000, lanes=64, chunk_steps=125, seed=13,
+    )
+    key = seed_key(cfg)
+    st_k = render(cfg.replace(bin_strategy=BinStrategy.EXACT_KERNEL), key=key)
+    st_e = render(cfg.replace(bin_strategy=BinStrategy.EXACT), key=key)
+    assert st_k.strategy == BinStrategy.EXACT
+    np.testing.assert_array_equal(np.asarray(st_k.count), np.asarray(st_e.count))
+    np.testing.assert_array_equal(np.asarray(st_k.zbuf), np.asarray(st_e.zbuf))
+    np.testing.assert_array_equal(np.asarray(st_k.steps), np.asarray(st_e.steps))
 
 
 def test_kernel_resumes_packed_state():
@@ -161,7 +281,7 @@ def test_kernel_resumes_packed_state():
     assert int(st2.count.sum()) > int(st1.count.sum())
 
 
-def test_canvas_geometry_and_padding():
+def test_canvas_geometry():
     for npix in (35, 128 * 128, 1920 * 1080, 1800 * 2000):
         alloc_rows, sentinel = kb.canvas_geometry(npix)
         assert alloc_rows * kb.LANES >= npix

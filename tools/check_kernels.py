@@ -41,9 +41,8 @@ def main() -> int:
     flat[rng.random(n) < 0.02] = npix  # out-of-bounds convention
     packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
 
-    size = kb.padded_size(npix)
-    cnt = jnp.zeros((size,), jnp.uint32)
-    pk = jnp.zeros((size,), jnp.uint32)
+    cnt = jnp.zeros((npix,), jnp.uint32)
+    pk = jnp.zeros((npix,), jnp.uint32)
     t0 = time.perf_counter()
     cnt, pk = kb.bin_chunk_kernel(
         cnt, pk, jnp.asarray(flat), jnp.asarray(packed),
@@ -64,6 +63,38 @@ def main() -> int:
     if not (ok_c and ok_p):
         bad = np.nonzero(got_p != want_p[:npix])[0][:5]
         print("first packed mismatches:", bad, got_p[bad], want_p[bad])
+        return 1
+
+    # EXACT_KERNEL: full-f32 planes + strict z-test with earliest-wins ties
+    z = rng.normal(0, 0.5, n).astype(np.float32)
+    z[rng.random(n) < 0.02] = -2.0  # below sentinel: counted, never wins
+    # quantize z so exact ties occur and exercise the stable-order path
+    z = np.round(z * 64) / 64
+    val = rng.random(n).astype(np.float32)
+    cnt_e = jnp.zeros((npix,), jnp.uint32)
+    st_e = jnp.zeros((npix,), jnp.float32)
+    zb_e = jnp.full((npix,), -1.0, jnp.float32)
+    t0 = time.perf_counter()
+    cnt_e, st_e, zb_e = kb.bin_chunk_kernel_exact(
+        cnt_e, st_e, zb_e, jnp.asarray(flat), jnp.asarray(z), jnp.asarray(val),
+        npix=npix, section=1 << seclog, interpret=interpret,
+    )
+    print(f"exact compile+run: {time.perf_counter() - t0:.1f}s")
+    ec = np.zeros(npix + 1, np.uint64)
+    es = np.zeros(npix + 1, np.float32)
+    ez = np.full(npix + 1, -1.0, np.float32)
+    for f, zz, vv in zip(flat, z, val):
+        ec[f] += 1
+        if zz > ez[f]:
+            ez[f] = zz
+            es[f] = vv
+    ok_ec = (np.asarray(cnt_e) == ec[:npix].astype(np.uint32)).all()
+    ok_ez = (np.asarray(zb_e) == ez[:npix]).all()
+    ok_es = (np.asarray(st_e) == es[:npix]).all()
+    print(f"exact: count {ok_ec}  zbuf {ok_ez}  steps {ok_es}")
+    if not (ok_ec and ok_ez and ok_es):
+        bad = np.nonzero(np.asarray(st_e) != es[:npix])[0][:5]
+        print("steps mismatches:", bad, np.asarray(st_e)[bad], es[bad])
         return 1
 
     if not interpret:
@@ -89,6 +120,28 @@ def main() -> int:
         float(out[0][0])
         ns = (time.perf_counter() - t0) / (16 * n) * 1e9
         print(f"sort+apply: {ns:.2f} ns/pt ({1e3 / ns:.0f}M pts/s) at section 2^{seclog}")
+
+        zj, vj = jnp.asarray(z), jnp.asarray(val)
+
+        @jax.jit
+        def pipe_exact(cnt, st, zb):
+            def body(c, _):
+                cnt, st, zb = c
+                f = fj ^ (cnt[0] & 1).astype(jnp.int32)
+                return kb.bin_chunk_kernel_exact(
+                    cnt, st, zb, f, zj, vj, npix=npix, section=1 << seclog
+                ), None
+
+            (cnt, st, zb), _ = lax.scan(body, (cnt, st, zb), None, length=16)
+            return cnt, st, zb
+
+        out = pipe_exact(cnt_e, st_e, zb_e)
+        float(out[0][0])
+        t0 = time.perf_counter()
+        out = pipe_exact(cnt_e, st_e, zb_e)
+        float(out[0][0])
+        ns = (time.perf_counter() - t0) / (16 * n) * 1e9
+        print(f"exact sort+apply: {ns:.2f} ns/pt ({1e3 / ns:.0f}M pts/s)")
     print("check_kernels: OK")
     return 0
 
