@@ -80,7 +80,10 @@ def test_merge_collective_packed(cpu_devices):
     np.testing.assert_array_equal(np.asarray(got_p)[0], packed.max(0))
 
 
-@pytest.mark.parametrize("strategy", [BinStrategy.EXACT, BinStrategy.PACKED])
+@pytest.mark.parametrize(
+    "strategy", [BinStrategy.EXACT, BinStrategy.PACKED, BinStrategy.KERNEL,
+                 BinStrategy.EXACT_KERNEL]
+)
 def test_render_sharded(cpu_devices, strategy):
     cfg = presets.poisson_saturne(
         width=64, height=36, iterations=100_000, lanes=256, chunk_steps=64,
