@@ -213,9 +213,15 @@ def _flush_exact(acc_ref, out_refs, cur):
     vb_ref[pl.ds(base, 128), :] = jnp.where(take, vb_new, vb_old)
 
 
-def _sections(npix, flat, payloads, section, pad_values):
-    """Sentinel-map + pad + section-reshape + stable sort (keys: flat and
-    the first payload; remaining payloads ride along)."""
+def _sections(npix, flat, payloads, section, pad_values, *, stable=True):
+    """Sentinel-map + pad + section-reshape + sort (keys: flat and the
+    first payload; remaining payloads ride along).
+
+    ``stable=False`` is valid whenever every operand is a key (equal-key
+    elements are then interchangeable) — measured 33% faster on v5e
+    (docs/KERNEL_NOTES.md round-2 ladder). EXACT_KERNEL must stay stable:
+    its earliest-wins z-tie rule rides on emission order among (flat, z)
+    ties (src/lib.rs:818-833)."""
     alloc_rows, sentinel = canvas_geometry(npix)
     m = flat.size
     sec = min(section, _round_pow2(m))
@@ -230,7 +236,8 @@ def _sections(npix, flat, payloads, section, pad_values):
     S = arrays[0].size // sec
     R_s = sec // LANES
     arrays = lax.sort(
-        tuple(a.reshape(S, sec) for a in arrays), dimension=1, num_keys=2
+        tuple(a.reshape(S, sec) for a in arrays), dimension=1, num_keys=2,
+        is_stable=stable,
     )
     return [a.reshape(S, R_s, LANES) for a in arrays], S, R_s, alloc_rows
 
@@ -263,8 +270,9 @@ def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
     is the uint32 packing of :func:`ops.binning.pack_zv`. Returns updated
     (count, packed) — bit-identical to :func:`ops.binning.bin_chunk_packed`.
     """
+    # both operands are keys: unstable sort is semantics-free and 33% faster
     sorted_arrays, S, R_s, alloc_rows = _sections(
-        npix, flat, [packed_update], section, [jnp.uint32(0)]
+        npix, flat, [packed_update], section, [jnp.uint32(0)], stable=False
     )
     dcnt, dpk = _run_apply(
         sorted_arrays, S, R_s, alloc_rows,
