@@ -238,7 +238,7 @@ class Config:
         if self.lanes is not None:
             return max(1, int(self.lanes))
         # target >= ~32k steps/lane => warmup overhead ~3%
-        lanes = max(256, min(8192, self.iterations // 32_768))
+        lanes = max(256, min(32768, self.iterations // 32_768))
         # round down to a multiple of 256 for clean VPU shapes
         return max(256, (lanes // 256) * 256)
 
@@ -246,9 +246,12 @@ class Config:
         if self.chunk_steps is not None:
             return max(1, int(self.chunk_steps))
         lanes = self.resolved_lanes()
-        # cap the emitted per-chunk point buffer at ~1M points (measured best
-        # on v5e: smaller flushes keep the scatter pipeline dense)
-        return max(1, min(512, (1 << 20) // lanes))
+        # per-chunk point buffer: the sort-bin pipeline (the TPU default)
+        # peaks at ~4M-point chunks (docs/KERNEL_NOTES.md round-2 schedule
+        # sweep: 170 -> 175-177M iters/s); the XLA scatter fallbacks peak at
+        # ~1M (smaller flushes keep the scatter pipeline dense)
+        buf = 1 << 20 if self.bin_strategy in (BinStrategy.PACKED, BinStrategy.EXACT) else 1 << 22
+        return max(1, min(512, buf // lanes))
 
     def resolved_bin_strategy(self, platform: str) -> BinStrategy:
         if self.bin_strategy != BinStrategy.AUTO:
@@ -258,11 +261,19 @@ class Config:
         return BinStrategy.DEPTH if self.render == RenderKind.DEPTH else BinStrategy.KERNEL
 
     def resolved_kernel_section(self) -> int:
-        """Points per independently-sorted section in the KERNEL pipeline
-        (measured optimum on v5e: 2^17; docs/KERNEL_NOTES.md round-2 table)."""
+        """Points per independently-sorted section in the KERNEL pipeline.
+
+        Both measured optima on v5e follow section = chunk_points / 8
+        (1M-point chunks -> 2^17, 4M -> 2^19; docs/KERNEL_NOTES.md round-2
+        schedule sweep), clamped to [2^14, 2^19]."""
         if self.kernel_section is not None:
             return max(128, int(self.kernel_section))
-        return 1 << 17
+        chunk_points = self.resolved_lanes() * self.resolved_chunk_steps()
+        target = max(128, chunk_points // 8)
+        pow2 = 1 << (target.bit_length() - 1)  # floor
+        if target - pow2 > 2 * pow2 - target:  # round to nearest power of 2
+            pow2 <<= 1
+        return max(1 << 14, min(1 << 19, pow2))
 
     # ---- jit cache key ---------------------------------------------------
     def fingerprint(self) -> bytes:
