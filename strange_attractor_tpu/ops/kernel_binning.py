@@ -69,6 +69,12 @@ from .binning import _inv_mono_u32, _mono_u32
 
 LANES = 128
 WINDOW_ROWS = 128  # canvas rows per apply window (= 16384 pixels)
+# points per kernel row: wider rows deepen the dot contraction (K=512) and
+# cut per-row overheads (acc add, winner mask, window reductions, loop trip
+# count) 4x; the canvas layout is unaffected because crow/ccol derive from
+# the flat pixel value, not the row shape. Measured on v5e this is the
+# difference between a 4.05 and a ~2 ns/pt apply (docs/KERNEL_NOTES.md).
+ROW_LANES = 512
 DEFAULT_SECTION = 1 << 17
 
 
@@ -86,14 +92,15 @@ def _round_pow2(n: int) -> int:
     return 1 << max(7, (n.bit_length() - 1))
 
 
-def _winner_mask(f_ref, r, nrows, lane1, *, first: bool):
+def _winner_mask(f_ref, r, nrows, lane1, rl, *, first: bool):
     """(f_row, mask): one winner position per pixel run per section.
 
     ``first=False`` marks the last point of each run (max by ascending
     sort); ``first=True`` marks the first (max-z + earliest tie by the
     descending-z stable sort). Row boundaries compare against the adjacent
     row so the mark stays unique within a section — the scratch SUMS byte
-    planes across rows, so duplicates would corrupt winners.
+    planes across rows, so duplicates would corrupt winners. ``rl`` is the
+    row width in points (lanes).
     """
     f_row = f_ref[0, pl.ds(r, 1), :]
     if first:
@@ -102,8 +109,10 @@ def _winner_mask(f_ref, r, nrows, lane1, *, first: bool):
         mask = (f_row != other) | ((lane1 == 0) & (r == 0))
     else:
         f_adj = f_ref[0, pl.ds(jnp.minimum(r + 1, nrows - 1), 1), :]
-        other = jnp.where(lane1 == 127, pltpu.roll(f_adj, 127, 1), pltpu.roll(f_row, 127, 1))
-        mask = (f_row != other) | ((lane1 == 127) & (r == nrows - 1))
+        nxt = pltpu.roll(f_row, rl - 1, 1)
+        nxt_adj = pltpu.roll(f_adj, rl - 1, 1)
+        other = jnp.where(lane1 == rl - 1, nxt_adj, nxt)
+        mask = (f_row != other) | ((lane1 == rl - 1) & (r == nrows - 1))
     return f_row, mask
 
 
@@ -124,18 +133,18 @@ def _u32_from_bytes(a, off):
     return (bs[3] << 24) | (bs[2] << 16) | (bs[1] << 8) | bs[0]
 
 
-def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn):
+def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: int):
     """Shared row-walk kernel: count + ``n_payload`` byte-decomposed winner
     payloads, window-scratch accumulation, ``flush_fn(acc_ref, refs, cur)``
-    writing one window back to the delta planes."""
+    writing one window back to the delta planes. ``rl`` points per row."""
     width = 128 * (1 + 4 * n_payload)
 
     def kernel(f_ref, *rest):
         payload_refs = rest[:n_payload]
         out_refs = rest[n_payload:-1]
         acc_ref = rest[-1]
-        sub = lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        lane1 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sub = lax.broadcasted_iota(jnp.int32, (128, rl), 0)
+        lane1 = lax.broadcasted_iota(jnp.int32, (1, rl), 1)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -151,7 +160,7 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn):
                 acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
         def row_body(r, cur):
-            f_row, mask = _winner_mask(f_ref, r, nrows, lane1, first=first)
+            f_row, mask = _winner_mask(f_ref, r, nrows, lane1, rl, first=first)
             fi = f_row.astype(jnp.int32)
             crow = fi >> 7
             ccol = fi & 127
@@ -234,21 +243,22 @@ def _sections(npix, flat, payloads, section, pad_values, *, stable=True):
             for a, v in zip(arrays, [jnp.uint32(sentinel), *pad_values])
         ]
     S = arrays[0].size // sec
-    R_s = sec // LANES
+    rl = min(ROW_LANES, sec)
+    R_s = sec // rl
     arrays = lax.sort(
         tuple(a.reshape(S, sec) for a in arrays), dimension=1, num_keys=2,
         is_stable=stable,
     )
-    return [a.reshape(S, R_s, LANES) for a in arrays], S, R_s, alloc_rows
+    return [a.reshape(S, R_s, rl) for a in arrays], S, R_s, rl, alloc_rows
 
 
-def _run_apply(sorted_arrays, S, R_s, alloc_rows, *, first, flush_fn, n_out, interpret):
-    kern, width = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn)
+def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out, interpret):
+    kern, width = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn, rl)
     return pl.pallas_call(
         kern,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, R_s, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, R_s, rl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ] * len(sorted_arrays),
         out_shape=[jax.ShapeDtypeStruct((alloc_rows, LANES), jnp.uint32)] * n_out,
         out_specs=[
@@ -271,11 +281,11 @@ def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
     (count, packed) — bit-identical to :func:`ops.binning.bin_chunk_packed`.
     """
     # both operands are keys: unstable sort is semantics-free and 33% faster
-    sorted_arrays, S, R_s, alloc_rows = _sections(
+    sorted_arrays, S, R_s, rl, alloc_rows = _sections(
         npix, flat, [packed_update], section, [jnp.uint32(0)], stable=False
     )
     dcnt, dpk = _run_apply(
-        sorted_arrays, S, R_s, alloc_rows,
+        sorted_arrays, S, R_s, rl, alloc_rows,
         first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
     )
     count = count + dcnt.reshape(-1)[:npix]
@@ -302,11 +312,11 @@ def bin_chunk_kernel_exact(count, steps, zbuf, flat, z, val, *, npix: int,
     z = jnp.where(z == 0.0, jnp.float32(0.0), z)
     zdesc = ~_mono_u32(z)
     valbits = lax.bitcast_convert_type(val.astype(jnp.float32), jnp.uint32)
-    sorted_arrays, S, R_s, alloc_rows = _sections(
+    sorted_arrays, S, R_s, rl, alloc_rows = _sections(
         npix, flat, [zdesc, valbits], section, [jnp.uint32(0), jnp.uint32(0)]
     )
     dcnt, dzd, dvb = _run_apply(
-        sorted_arrays, S, R_s, alloc_rows,
+        sorted_arrays, S, R_s, rl, alloc_rows,
         first=True, flush_fn=_flush_exact, n_out=3, interpret=interpret,
     )
     count = count + dcnt.reshape(-1)[:npix]
