@@ -69,12 +69,14 @@ from .binning import _inv_mono_u32, _mono_u32
 
 LANES = 128
 WINDOW_ROWS = 128  # canvas rows per apply window (= 16384 pixels)
-# points per kernel row: wider rows deepen the dot contraction (K=512) and
+# points per kernel row: wider rows deepen the dot contraction (K=1024) and
 # cut per-row overheads (acc add, winner mask, window reductions, loop trip
-# count) 4x; the canvas layout is unaffected because crow/ccol derive from
-# the flat pixel value, not the row shape. Measured on v5e this is the
-# difference between a 4.05 and a ~2 ns/pt apply (docs/KERNEL_NOTES.md).
-ROW_LANES = 512
+# count) 8x; the canvas layout is unaffected because crow/ccol derive from
+# the flat pixel value, not the row shape. Measured end-to-end on v5e:
+# 128 -> 178M, 512 -> 268M, 1024 -> 270M, 2048 -> 254M iters/s (wider rows
+# span multiple windows more often, re-running the dot per window visited;
+# docs/KERNEL_NOTES.md).
+ROW_LANES = 1024
 DEFAULT_SECTION = 1 << 17
 
 
