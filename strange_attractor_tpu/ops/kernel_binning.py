@@ -12,17 +12,20 @@ vectorized pipeline:
    bitonic by ~5x (docs/KERNEL_NOTES.md round-2 table).
 2. **Row apply (Pallas)**: a delta canvas lives in VMEM as
    (alloc_rows, 128) u32 planes (flat pixel p at [p // 128, p % 128]).
-   Each 128 consecutive sorted points form one sublane row; a ``fori_loop``
-   walks rows with dynamic *sublane* slices (dynamic lane slicing is
-   unsupported — this layout keeps the Mosaic program tiny: ~1 s compiles
-   vs the 255-805 s of round 1's 128-column unroll). Per row, one-hot
-   matrices are built by comparing a sublane iota against lane-broadcast
-   pixel rows, and a single stacked lane-contraction matmul
+   Each ``ROW_LANES`` consecutive sorted points form one kernel row; a
+   ``fori_loop`` walks rows with dynamic *sublane* slices (dynamic lane
+   slicing is unsupported — this layout keeps the Mosaic program tiny:
+   ~1 s compiles vs the 255-805 s of round 1's 128-column unroll). Per
+   row, one-hot matrices are built by comparing a sublane iota against
+   lane-broadcast pixel rows, and a single stacked lane-contraction matmul
    ``dot_general(e_row, [e_col | byte planes...], ((1,), (1,)))`` yields
    the window's count tile and the winners' byte planes at once.
    Contributions accumulate in an f32 VMEM scratch tile and flush to the
-   delta canvas when the 16384-pixel window changes (sorted order visits
-   windows monotonically), so canvas traffic is ~one sweep per section.
+   delta canvas when the ``WINDOW_ROWS * 128``-pixel window changes
+   (sorted order visits windows monotonically), so canvas traffic is ~one
+   sweep per section. Wide rows (K=1024 contraction) amortize per-row
+   costs; small windows shrink the dot's M dimension — both tuned by
+   end-to-end ladders (docs/KERNEL_NOTES.md round-2).
 3. **Delta merge (XLA)**: the kernel emits per-chunk *delta* planes
    (zeroed at grid step 0) folded into the persistent planes with an XLA
    add/max/z-test. Carrying the canvas through ``input_output_aliases``
@@ -68,7 +71,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import _inv_mono_u32, _mono_u32
 
 LANES = 128
-WINDOW_ROWS = 128  # canvas rows per apply window (= 16384 pixels)
+WINDOW_ROWS = 64  # canvas rows per apply window (= 8192 pixels; see ladder below)
 # points per kernel row: wider rows deepen the dot contraction (K=1024) and
 # cut per-row overheads (acc add, winner mask, window reductions, loop trip
 # count) 8x; the canvas layout is unaffected because crow/ccol derive from
@@ -146,6 +149,7 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
         out_refs = rest[n_payload:-1]
         acc_ref = rest[-1]
         sub = lax.broadcasted_iota(jnp.int32, (128, rl), 0)
+        subw = lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, rl), 0)
         lane1 = lax.broadcasted_iota(jnp.int32, (1, rl), 1)
 
         @pl.when(pl.program_id(0) == 0)
@@ -181,11 +185,11 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
                 def _():
                     flush(cur)
 
-                e_row = (sub == (crow - w * WINDOW_ROWS)).astype(jnp.bfloat16)
+                e_row = (subw == (crow - w * WINDOW_ROWS)).astype(jnp.bfloat16)
                 out = lax.dot_general(
                     e_row, stack, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (128, width)
+                )  # (WINDOW_ROWS, width)
                 acc_ref[:, :] += out
                 return w + 1, w
 
@@ -202,26 +206,28 @@ def _flush_packed(acc_ref, out_refs, cur):
     cnt_ref, pk_ref = out_refs
     base = cur * WINDOW_ROWS
     a = acc_ref[:, :]
-    cnt_ref[pl.ds(base, 128), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
+    W = WINDOW_ROWS
+    cnt_ref[pl.ds(base, W), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
     pk_new = _u32_from_bytes(a, 1)
-    old = pk_ref[pl.ds(base, 128), :]
-    pk_ref[pl.ds(base, 128), :] = jnp.where(old < pk_new, pk_new, old)
+    old = pk_ref[pl.ds(base, W), :]
+    pk_ref[pl.ds(base, W), :] = jnp.where(old < pk_new, pk_new, old)
 
 
 def _flush_exact(acc_ref, out_refs, cur):
     cnt_ref, zd_ref, vb_ref = out_refs
     base = cur * WINDOW_ROWS
     a = acc_ref[:, :]
-    cnt_ref[pl.ds(base, 128), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
+    W = WINDOW_ROWS
+    cnt_ref[pl.ds(base, W), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
     zd_new = _u32_from_bytes(a, 1)  # descending-z key; 0 == no winner here
     vb_new = _u32_from_bytes(a, 5)  # winner's f32 value bits
-    zd_old = zd_ref[pl.ds(base, 128), :]
+    zd_old = zd_ref[pl.ds(base, W), :]
     # smaller nonzero key = greater z; strict < keeps the earlier section's
     # winner on exact z ties (the reference's z2 > zbuf, src/lib.rs:821)
     take = (zd_new != 0) & ((zd_old == 0) | (zd_new < zd_old))
-    zd_ref[pl.ds(base, 128), :] = jnp.where(take, zd_new, zd_old)
-    vb_old = vb_ref[pl.ds(base, 128), :]
-    vb_ref[pl.ds(base, 128), :] = jnp.where(take, vb_new, vb_old)
+    zd_ref[pl.ds(base, W), :] = jnp.where(take, zd_new, zd_old)
+    vb_old = vb_ref[pl.ds(base, W), :]
+    vb_ref[pl.ds(base, W), :] = jnp.where(take, vb_new, vb_old)
 
 
 def _sections(npix, flat, payloads, section, pad_values, *, stable=True):
@@ -266,7 +272,7 @@ def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out,
         out_specs=[
             pl.BlockSpec((alloc_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_out,
-        scratch_shapes=[pltpu.VMEM((128, width), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((WINDOW_ROWS, width), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*sorted_arrays)
