@@ -121,19 +121,14 @@ def _winner_mask(f_ref, r, nrows, lane1, rl, *, first: bool):
     return f_row, mask
 
 
-def _stack_planes(e_col, maskb, payload_rows):
-    """[e_col | 4 byte planes per payload row] stacked on sublanes."""
-    planes = [e_col]
-    for row in payload_rows:
-        for b in range(4):
-            vb = ((row >> (8 * b)) & 255).astype(jnp.int32).astype(jnp.bfloat16)
-            planes.append(e_col * (vb * maskb))
-    return jnp.concatenate(planes, axis=0)
-
-
 def _u32_from_bytes(a, off):
-    """Recombine 4 accumulated byte planes (f32, each < 256) to uint32."""
-    bs = [a[:, 128 * (off + b): 128 * (off + b + 1)].astype(jnp.int32).astype(jnp.uint32)
+    """Recombine 4 accumulated byte planes (f32, each < 256) to uint32.
+
+    ``a`` is the (WINDOW_ROWS * n_blocks, 128) scratch; payload bytes live
+    in WINDOW_ROWS-row blocks starting at block ``off`` (block 0 = count).
+    """
+    W = WINDOW_ROWS
+    bs = [a[W * (off + b): W * (off + b + 1), :].astype(jnp.int32).astype(jnp.uint32)
           for b in range(4)]
     return (bs[3] << 24) | (bs[2] << 16) | (bs[1] << 8) | bs[0]
 
@@ -141,15 +136,24 @@ def _u32_from_bytes(a, off):
 def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: int):
     """Shared row-walk kernel: count + ``n_payload`` byte-decomposed winner
     payloads, window-scratch accumulation, ``flush_fn(acc_ref, refs, cur)``
-    writing one window back to the delta planes. ``rl`` points per row."""
-    width = 128 * (1 + 4 * n_payload)
+    writing one window back to the delta planes. ``rl`` points per row.
+
+    The winner byte values are folded into the *e_row* side (WINDOW_ROWS
+    sublanes) rather than the e_col side (128 sublanes): the weighted
+    one-hots stack on the dot's M dimension as [e_row | e_row*s_b...], so
+    each per-point one-hot build touches WINDOW_ROWS cells instead of 128
+    and the output tiles land in WINDOW_ROWS-row blocks of the scratch —
+    ~40% fewer VPU cells per point at identical MAC count.
+    """
+    n_blocks = 1 + 4 * n_payload
+    W = WINDOW_ROWS
 
     def kernel(f_ref, *rest):
         payload_refs = rest[:n_payload]
         out_refs = rest[n_payload:-1]
         acc_ref = rest[-1]
         sub = lax.broadcasted_iota(jnp.int32, (128, rl), 0)
-        subw = lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, rl), 0)
+        subw = lax.broadcasted_iota(jnp.int32, (W, rl), 0)
         lane1 = lax.broadcasted_iota(jnp.int32, (1, rl), 1)
 
         @pl.when(pl.program_id(0) == 0)
@@ -170,13 +174,16 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
             fi = f_row.astype(jnp.int32)
             crow = fi >> 7
             ccol = fi & 127
-            wmin = jnp.min(crow) // WINDOW_ROWS
-            wmax = jnp.max(crow) // WINDOW_ROWS
+            wmin = jnp.min(crow) // W
+            wmax = jnp.max(crow) // W
             e_col = (sub == ccol).astype(jnp.bfloat16)
-            stack = _stack_planes(
-                e_col, mask.astype(jnp.bfloat16),
-                [ref[0, pl.ds(r, 1), :] for ref in payload_refs],
-            )
+            maskb = mask.astype(jnp.bfloat16)
+            svals = []  # (1, rl) per-point byte values, winner-masked
+            for ref in payload_refs:
+                prow = ref[0, pl.ds(r, 1), :]
+                for b in range(4):
+                    vb = ((prow >> (8 * b)) & 255).astype(jnp.int32).astype(jnp.bfloat16)
+                    svals.append(vb * maskb)
 
             def win_body(state):
                 w, cur = state
@@ -185,11 +192,14 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
                 def _():
                     flush(cur)
 
-                e_row = (subw == (crow - w * WINDOW_ROWS)).astype(jnp.bfloat16)
+                e_row = (subw == (crow - w * W)).astype(jnp.bfloat16)
+                estack = jnp.concatenate(
+                    [e_row] + [e_row * s for s in svals], axis=0
+                )  # (n_blocks * W, rl)
                 out = lax.dot_general(
-                    e_row, stack, (((1,), (1,)), ((), ())),
+                    estack, e_col, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (WINDOW_ROWS, width)
+                )  # (n_blocks * W, 128)
                 acc_ref[:, :] += out
                 return w + 1, w
 
@@ -199,7 +209,7 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
         cur = lax.fori_loop(0, nrows, row_body, jnp.int32(-1))
         flush(cur)
 
-    return kernel, width
+    return kernel, n_blocks
 
 
 def _flush_packed(acc_ref, out_refs, cur):
@@ -207,7 +217,7 @@ def _flush_packed(acc_ref, out_refs, cur):
     base = cur * WINDOW_ROWS
     a = acc_ref[:, :]
     W = WINDOW_ROWS
-    cnt_ref[pl.ds(base, W), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
+    cnt_ref[pl.ds(base, W), :] += a[:W, :].astype(jnp.int32).astype(jnp.uint32)
     pk_new = _u32_from_bytes(a, 1)
     old = pk_ref[pl.ds(base, W), :]
     pk_ref[pl.ds(base, W), :] = jnp.where(old < pk_new, pk_new, old)
@@ -218,7 +228,7 @@ def _flush_exact(acc_ref, out_refs, cur):
     base = cur * WINDOW_ROWS
     a = acc_ref[:, :]
     W = WINDOW_ROWS
-    cnt_ref[pl.ds(base, W), :] += a[:, :128].astype(jnp.int32).astype(jnp.uint32)
+    cnt_ref[pl.ds(base, W), :] += a[:W, :].astype(jnp.int32).astype(jnp.uint32)
     zd_new = _u32_from_bytes(a, 1)  # descending-z key; 0 == no winner here
     vb_new = _u32_from_bytes(a, 5)  # winner's f32 value bits
     zd_old = zd_ref[pl.ds(base, W), :]
@@ -261,7 +271,7 @@ def _sections(npix, flat, payloads, section, pad_values, *, stable=True):
 
 
 def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out, interpret):
-    kern, width = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn, rl)
+    kern, n_blocks = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn, rl)
     return pl.pallas_call(
         kern,
         grid=(S,),
@@ -272,7 +282,7 @@ def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out,
         out_specs=[
             pl.BlockSpec((alloc_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_out,
-        scratch_shapes=[pltpu.VMEM((WINDOW_ROWS, width), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((WINDOW_ROWS * n_blocks, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*sorted_arrays)
