@@ -71,14 +71,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import _inv_mono_u32, _mono_u32
 
 LANES = 128
-WINDOW_ROWS = 64  # canvas rows per apply window (= 8192 pixels; see ladder below)
+# canvas rows per apply window (= 4096 pixels per flush window). Smaller
+# windows shrink the dot's M dimension and — with the e_row-side byte
+# stacking — every per-point one-hot cell count, at the cost of more
+# window visits. End-to-end ladder at ROW_LANES=1024 (4e8 workload):
+# 128 -> 259M, 64 -> 391.7M, 32 -> 431.8M, 16 -> 424.3M iters/s.
+WINDOW_ROWS = 32
 # points per kernel row: wider rows deepen the dot contraction (K=1024) and
 # cut per-row overheads (acc add, winner mask, window reductions, loop trip
-# count) 8x; the canvas layout is unaffected because crow/ccol derive from
-# the flat pixel value, not the row shape. Measured end-to-end on v5e:
-# 128 -> 178M, 512 -> 268M, 1024 -> 270M, 2048 -> 254M iters/s (wider rows
-# span multiple windows more often, re-running the dot per window visited;
-# docs/KERNEL_NOTES.md).
+# count); the canvas layout is unaffected because crow/ccol derive from
+# the flat pixel value, not the row shape. End-to-end ladder: 128 -> 178M,
+# 512 -> 268M, 1024 -> best, 2048 -> tie (wider rows span multiple windows
+# more often, re-running the dot per window visited; docs/KERNEL_NOTES.md).
 ROW_LANES = 1024
 DEFAULT_SECTION = 1 << 17
 
