@@ -57,7 +57,19 @@ class PolynomialSprott2Degree:
     def step(self, p):
         import jax.numpy as jnp
 
-        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        nx, ny, nz = self.step_xyz(p[..., 0], p[..., 1], p[..., 2])
+        return jnp.stack([nx, ny, nz], axis=-1)
+
+    def step_xyz(self, x, y, z):
+        """Component form of :meth:`step` — the hot-path variant.
+
+        (lanes, 3) arrays tile as (8, 128) on TPU with a 3-wide lane
+        dimension, wasting 125/128 of every VPU op; the render loop keeps
+        x/y/z as separate (lanes,) arrays instead and calls this directly
+        (docs/KERNEL_NOTES.md round-2).
+        """
+        import jax.numpy as jnp
+
         dt = x.dtype
         one = jnp.ones_like(x)
         monoms = (one, x, x * x, x * y, x * z, y, y * y, y * z, z, z * z)
@@ -68,7 +80,7 @@ class PolynomialSprott2Degree:
                 acc = acc + jnp.asarray(c, dt) * m
             return acc
 
-        return jnp.stack([dot(self.x), dot(self.y), dot(self.z)], axis=-1)
+        return dot(self.x), dot(self.y), dot(self.z)
 
     def step_numpy(self, p: np.ndarray) -> np.ndarray:
         """Numpy twin of :meth:`step` for the CPU oracle."""
@@ -131,3 +143,23 @@ class Lorenz:
         return b"lorenz:" + np.asarray(
             [self.sigma, self.rho, self.beta, self.dt], np.float64
         ).tobytes()
+
+
+def as_xyz_step(attractor):
+    """(x, y, z) -> (x, y, z) step function for the hot path.
+
+    Uses the attractor's native ``step_xyz`` when it defines one; otherwise
+    adapts the protocol ``step`` by stacking (custom attractors keep working
+    at the cost of the padded (lanes, 3) layout).
+    """
+    native = getattr(attractor, "step_xyz", None)
+    if native is not None:
+        return native
+
+    def adapted(x, y, z):
+        import jax.numpy as jnp
+
+        p = attractor.step(jnp.stack([x, y, z], axis=-1))
+        return p[..., 0], p[..., 1], p[..., 2]
+
+    return adapted

@@ -40,6 +40,14 @@ class AdjustedVelocity:
             self.factor, dt
         )
 
+    def xyz(self, dx, dy, dz, sx, sy, sz, view):
+        """Component form (hot path — avoids the padded (lanes, 3) layout)."""
+        import jax.numpy as jnp
+
+        dt = dx.dtype
+        mag = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        return (mag + jnp.asarray(self.offset, dt)) * jnp.asarray(self.factor, dt)
+
     def numpy(self, delta, screen, view):
         dt = delta.dtype.type
         return (_magnitude(delta, np) + dt(self.offset)) * dt(self.factor)
@@ -84,6 +92,24 @@ class PoissonSaturneTransform:
         color = (part + _magnitude(delta, jnp)) / 2.0
         return (color - jnp.asarray(0.1, dt)) / jnp.asarray(0.9, dt)
 
+    def xyz(self, dx, dy, dz, sx, sy, sz, view):
+        """Component form (hot path). Same math/quirk as ``__call__``."""
+        import jax.numpy as jnp
+
+        dt = dx.dtype
+        x2 = (sx + jnp.asarray(view.center_camera[0], dt)) * _COS_45_5 + (
+            sz + jnp.asarray(view.center_camera[1], dt)
+        ) * _SIN_45_5
+        outside = (
+            (x2 < -0.0839)
+            | (10.55 * x2 + sy < 0.46 - 1.0941)
+            | (1.0426 * x2 + sy < 0.179 - 0.1576)
+            | (0.5139 * x2 - sy > -0.04 - 0.04092)
+        )
+        part = jnp.where(outside, jnp.asarray(0.0, dt), jnp.asarray(1.0, dt))
+        color = (part + jnp.sqrt(dx * dx + dy * dy + dz * dz)) / 2.0
+        return (color - jnp.asarray(0.1, dt)) / jnp.asarray(0.9, dt)
+
     def numpy(self, delta, screen, view):
         dt = delta.dtype.type
         x2 = _poisson_saturne_part_terms(screen, dt(view.center_camera[0]), dt(view.center_camera[1]))
@@ -104,3 +130,24 @@ class PoissonSaturneTransform:
 
 #: Singleton matching the reference's free function ``color_transforms::poisson_saturne``.
 poisson_saturne_transform = PoissonSaturneTransform()
+
+
+def as_xyz_transform(transform):
+    """(dx, dy, dz, sx, sy, sz, view) -> value for the hot path.
+
+    Uses the transform's native ``xyz`` when it defines one; otherwise
+    adapts the protocol ``(delta, screen, view)`` callable by stacking
+    (user-supplied closures keep working at the padded-layout cost).
+    """
+    native = getattr(transform, "xyz", None)
+    if native is not None:
+        return native
+
+    def adapted(dx, dy, dz, sx, sy, sz, view):
+        import jax.numpy as jnp
+
+        delta = jnp.stack([dx, dy, dz], axis=-1)
+        screen = jnp.stack([sx, sy, sz], axis=-1)
+        return transform(delta, screen, view)
+
+    return adapted

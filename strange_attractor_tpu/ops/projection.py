@@ -97,8 +97,14 @@ def rotate_point(cam: CameraParams, p, jnp):
     multiply-adds (not a matmul) so a batch of lanes runs on the VPU and the
     operation order matches the reference / oracle.
     """
+    return rotate_xyz(cam, p[..., 0], p[..., 1], p[..., 2], jnp)
+
+
+def rotate_xyz(cam: CameraParams, x, y, z, jnp):
+    """Component form of :func:`rotate_point` (hot path: the render loop
+    keeps lane coordinates as separate (lanes,) arrays — see
+    models.attractors.PolynomialSprott2Degree.step_xyz)."""
     m = cam.rotation_matrix
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
     dt = x.dtype
     sx = jnp.asarray(m[0][0], dt) * x + jnp.asarray(m[0][1], dt) * y + jnp.asarray(m[0][2], dt) * z
     sy = jnp.asarray(m[1][0], dt) * x + jnp.asarray(m[1][1], dt) * y + jnp.asarray(m[1][2], dt) * z

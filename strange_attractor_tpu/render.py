@@ -26,9 +26,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from .config import BinStrategy, Config
+from .models.attractors import as_xyz_step
+from .models.transforms import as_xyz_transform
 from .ops import binning
 from .ops.colorize import colorize_planes, state_planes
-from .ops.projection import camera_params, project, rotate_point
+from .ops.projection import camera_params, project, rotate_xyz
 from .runtime import RenderState
 
 _KERNEL_CACHE: dict = {}
@@ -81,17 +83,23 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
 
     Body of the innermost scan; replicates src/lib.rs:769-837 (see
     ops.projection for the quirk-preserving math).
+
+    The carry keeps lane coordinates as six separate (lanes,) arrays
+    (x, y, z, px, py, pz) rather than two (lanes, 3) arrays: a 3-wide lane
+    dimension tiles as (8, 128) on TPU and wastes 125/128 of every VPU op
+    (docs/KERNEL_NOTES.md round-2 map-phase fix). Use :func:`_split_xyz` /
+    :func:`_join_xyz` at the chunk boundary.
     """
-    attractor = config.attractor
-    transform = config.color_transform
+    step_xyz = as_xyz_step(config.attractor)
+    transform = as_xyz_transform(config.color_transform)
     view = config.view
     W, H = config.width, config.height
     npix = W * H
 
     def step(carry, _):
-        cur, prev, age, cos_v, sin_v = carry
-        new = attractor.step(cur)
-        sx, sy, sz = rotate_point(cam, new, jnp)
+        x, y, z, px, py, pz, age, cos_v, sin_v = carry
+        nx, ny, nz = step_xyz(x, y, z)
+        sx, sy, sz = rotate_xyz(cam, nx, ny, nz, jnp)
         fi, fj, z2 = project(cam, sx, sy, sz, cos_v, sin_v, jnp)
         dt = fi.dtype
         # clamp at 1 so a lane never overflows int32 on huge renders;
@@ -113,9 +121,7 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
         # NaN z never wins the z-test (NaN > zbuf is false, src/lib.rs:821);
         # -inf is the scatter-max-safe equivalent
         z2 = jnp.where(jnp.isnan(z2), -jnp.inf, z2)
-        delta = new - prev
-        screen = jnp.stack([sx, sy, sz], axis=-1)
-        val = transform(delta, screen, view)
+        val = transform(nx - px, ny - py, nz - pz, sx, sy, sz, view)
         # previous point advances even when out of bounds (src/lib.rs:789-795)
         if strategy.planes_kind() == BinStrategy.PACKED:  # PACKED and KERNEL
             emitted = (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
@@ -123,9 +129,18 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
             emitted = (flat, z2.astype(jnp.float32))
         else:
             emitted = (flat, z2.astype(jnp.float32), val.astype(jnp.float32))
-        return (new, new, age, cos_v, sin_v), emitted
+        return (nx, ny, nz, nx, ny, nz, age, cos_v, sin_v), emitted
 
     return step
+
+
+def _split_xyz(p):
+    """(lanes, 3) -> three (lanes,) component arrays (hot-path layout)."""
+    return p[..., 0], p[..., 1], p[..., 2]
+
+
+def _join_xyz(x, y, z):
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def _reseed_dead_lanes(config: Config, key, cur, prev, age, dt):
@@ -224,12 +239,16 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     step = _step_fn(config, cam, strategy)
     attractor = config.attractor
 
+    step_xyz = as_xyz_step(attractor)
+
     @jax.jit
     def init(key):
         """Seed U[0,1)^3 * 0.1 then warm up (src/lib.rs:748-752)."""
         p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
-        warmed = lax.fori_loop(0, config.warmup, lambda i, p: attractor.step(p), p0)
-        return warmed
+        warmed = lax.fori_loop(
+            0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0)
+        )
+        return _join_xyz(*warmed)
 
     bin_planes = _bin_fn(config, strategy)
 
@@ -240,10 +259,11 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
         # unroll: per-scan-step fixed overhead dominates the map's cost
         # (~17.6us/step vs ~1us of VPU math at 30k lanes); 8 bodies per
         # iteration cut the map phase ~2x (docs/KERNEL_NOTES.md)
-        (cur, prev, age, cos_v, sin_v), emitted = lax.scan(
-            step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps,
-            unroll=8,
+        (x, y, z, px, py, pz, age, cos_v, sin_v), emitted = lax.scan(
+            step, (*_split_xyz(cur), *_split_xyz(prev), age, cos_v, sin_v),
+            None, length=chunk_steps, unroll=8,
         )
+        cur, prev = _join_xyz(x, y, z), _join_xyz(px, py, pz)
         emitted = tuple(e.reshape(-1) for e in emitted)
         planes = bin_planes(planes, emitted)
         return (planes, cur, prev, age, rkey, cos_v, sin_v), None
@@ -458,9 +478,13 @@ def _canvas_body(
     step = _step_fn(config, cam, strategy)
     npix = config.width * config.height
 
+    step_xyz = as_xyz_step(config.attractor)
+
     def body(key, cos_v, sin_v):
         p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
-        cur = lax.fori_loop(0, config.warmup, lambda i, p: config.attractor.step(p), p0)
+        cur = _join_xyz(
+            *lax.fori_loop(0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0))
+        )
         prev = cur
         age = jnp.zeros((lanes,), jnp.int32)
         rkey = jax.random.fold_in(key, 0x5EED)
@@ -482,10 +506,11 @@ def _canvas_body(
             planes, cur, prev, age, rkey = carry
             if config.reseed_lanes:
                 rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
-            (cur, prev, age, _, _), emitted = lax.scan(
-                step, (cur, prev, age, cos_v, sin_v), None, length=chunk_steps,
-                unroll=8,
+            (x, y, z, px, py, pz, age, _, _), emitted = lax.scan(
+                step, (*_split_xyz(cur), *_split_xyz(prev), age, cos_v, sin_v),
+                None, length=chunk_steps, unroll=8,
             )
+            cur, prev = _join_xyz(x, y, z), _join_xyz(px, py, pz)
             emitted = tuple(e.reshape(-1) for e in emitted)
             planes = bin_planes(planes, emitted)
             return (planes, cur, prev, age, rkey), None
