@@ -237,8 +237,10 @@ class Config:
         src/lib.rs:1058 gives ~1e6-1e7 steps per work unit)."""
         if self.lanes is not None:
             return max(1, int(self.lanes))
-        # target >= ~32k steps/lane => warmup overhead ~3%
-        lanes = max(256, min(32768, self.iterations // 32_768))
+        # target >= ~32k steps/lane => warmup overhead ~3%; the 1e9 lanes
+        # sweep is flat 484-493M iters/s from 8k to 30k lanes, so cap at
+        # 16384 where warm-up overhead is halved (docs/KERNEL_NOTES.md)
+        lanes = max(256, min(16384, self.iterations // 32_768))
         # round down to a multiple of 256 for clean VPU shapes
         return max(256, (lanes // 256) * 256)
 
