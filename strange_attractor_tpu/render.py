@@ -246,7 +246,8 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
         """Seed U[0,1)^3 * 0.1 then warm up (src/lib.rs:748-752)."""
         p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
         warmed = lax.fori_loop(
-            0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0)
+            0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0),
+            unroll=8,
         )
         return _join_xyz(*warmed)
 
@@ -285,10 +286,12 @@ def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> None:
     if strategy is None:
         strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes, chunk_steps, nchunks = plan_schedule(config)
-    # a 33-chunk run exercises both kernel variants (32-chunk + 1-chunk);
-    # pin the resolved schedule so the warm run hits the same cache keys
+    # warm exactly the kernel variants render() will dispatch: the 32-chunk
+    # group plus the remainder group (nchunks % 32); pin the resolved
+    # schedule so the warm run hits the same cache keys
+    warm_chunks = nchunks if nchunks <= 32 else 32 + (nchunks % 32 or 32)
     warm = config.replace(
-        iterations=lanes * chunk_steps * min(nchunks, 33),
+        iterations=lanes * chunk_steps * warm_chunks,
         lanes=lanes,
         chunk_steps=chunk_steps,
         silent=True,
@@ -357,8 +360,8 @@ def render(
 
     lanes, chunk_steps, nchunks = plan_schedule(config)
     # split chunks over a few dispatches so long renders report progress;
-    # only two kernel variants ever compile (32-chunk and 1-chunk), so a
-    # short warm-up run covers every future iteration count
+    # only two kernel variants compile per schedule (the 32-chunk group and
+    # the remainder group), which precompile() warms exactly
     inner = min(nchunks, 32)
     outer_full, rem = divmod(nchunks, inner)
 
@@ -396,9 +399,12 @@ def render(
             print(f"Iteration complete, {nchunks - done} left to go.")
         if on_progress is not None:
             on_progress(done, nchunks, _partial_state(copy=True))
-    for _ in range(rem):
-        planes, cur, prev, age, rkey = dispatch(1, planes, cur, prev, age, rkey)
-        done += 1
+    if rem:
+        # one remainder-sized dispatch instead of `rem` single-chunk ones:
+        # per-dispatch tunnel latency is ~4 ms, so a 14-chunk tail as 14
+        # dispatches costs ~3% of a 1e9 render (docs/KERNEL_NOTES.md)
+        planes, cur, prev, age, rkey = dispatch(rem, planes, cur, prev, age, rkey)
+        done += rem
     if on_progress is not None and rem:
         on_progress(done, nchunks, _partial_state(copy=True))
     if not config.silent:
@@ -483,7 +489,9 @@ def _canvas_body(
     def body(key, cos_v, sin_v):
         p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
         cur = _join_xyz(
-            *lax.fori_loop(0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0))
+            *lax.fori_loop(
+                0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0), unroll=8
+            )
         )
         prev = cur
         age = jnp.zeros((lanes,), jnp.int32)
