@@ -90,7 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-steps", type=int, default=None,
                    help="Map steps per binning flush (default: auto)")
     p.add_argument("--bin-strategy",
-                   choices=["auto", "exact", "packed", "depth", "kernel", "exact-kernel"],
+                   choices=["auto", "exact", "packed", "depth", "kernel", "exact-kernel",
+                            "depth-kernel"],
                    default="auto",
                    help="Canvas accumulation strategy. 'auto' picks 'kernel' on TPU "
                         "(sort-bin Pallas pipeline, ~2.5x 'packed'); kernel/packed "

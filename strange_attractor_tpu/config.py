@@ -139,15 +139,19 @@ class BinStrategy(enum.Enum):
       cannot be colorized as Gas.
     - KERNEL: PACKED-identical output planes, accumulated by the sort-bin
       Pallas pipeline (ops/kernel_binning.py) instead of XLA scatters —
-      ~2.5x faster on TPU (the scatters hit a ~8 ns/update scalar floor,
+      ~7x faster on TPU (the scatters hit a ~8 ns/update scalar floor,
       docs/KERNEL_NOTES.md). Bit-exact to PACKED: same pack_zv packing,
       same count/max semantics, so states interchange freely.
     - EXACT_KERNEL: EXACT-identical full-f32 planes and reference z-test
-      semantics through the same sort-bin pipeline — ~3.5x faster than
+      semantics through the same sort-bin pipeline — ~10x faster than
       EXACT on TPU, and *stronger* than the scatter path on one edge:
       equal-(pixel, z) duplicates within a chunk resolve deterministically
       to the earliest-emitted value (the reference's strict z2 > zbuf).
-    - AUTO:   on TPU, DEPTH for depth renders else KERNEL; EXACT elsewhere.
+    - DEPTH_KERNEL: DEPTH-identical single zbuf plane through the sort-bin
+      pipeline (the winner key is the monotone-u32 image of z) — ~3x the
+      scatter DEPTH path.
+    - AUTO:   on TPU, DEPTH_KERNEL for depth renders else KERNEL; EXACT
+      elsewhere (DEPTH for CPU depth renders).
     """
 
     EXACT = "exact"
@@ -155,6 +159,7 @@ class BinStrategy(enum.Enum):
     DEPTH = "depth"
     KERNEL = "kernel"
     EXACT_KERNEL = "exact-kernel"
+    DEPTH_KERNEL = "depth-kernel"
     AUTO = "auto"
 
     def planes_kind(self) -> "BinStrategy":
@@ -165,6 +170,8 @@ class BinStrategy(enum.Enum):
             return BinStrategy.PACKED
         if self == BinStrategy.EXACT_KERNEL:
             return BinStrategy.EXACT
+        if self == BinStrategy.DEPTH_KERNEL:
+            return BinStrategy.DEPTH
         return self
 
 
@@ -252,7 +259,8 @@ class Config:
         # peaks at ~4M-point chunks (docs/KERNEL_NOTES.md round-2 schedule
         # sweep: 170 -> 175-177M iters/s); the XLA scatter fallbacks peak at
         # ~1M (smaller flushes keep the scatter pipeline dense)
-        buf = 1 << 20 if self.bin_strategy in (BinStrategy.PACKED, BinStrategy.EXACT) else 1 << 22
+        scatter = (BinStrategy.PACKED, BinStrategy.EXACT, BinStrategy.DEPTH)
+        buf = 1 << 20 if self.bin_strategy in scatter else 1 << 22
         return max(1, min(512, buf // lanes))
 
     def resolved_bin_strategy(self, platform: str) -> BinStrategy:
@@ -260,7 +268,7 @@ class Config:
             return self.bin_strategy
         if platform != "tpu":
             return BinStrategy.EXACT
-        return BinStrategy.DEPTH if self.render == RenderKind.DEPTH else BinStrategy.KERNEL
+        return BinStrategy.DEPTH_KERNEL if self.render == RenderKind.DEPTH else BinStrategy.KERNEL
 
     def resolved_kernel_section(self) -> int:
         """Points per independently-sorted section in the KERNEL pipeline.

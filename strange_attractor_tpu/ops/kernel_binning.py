@@ -351,3 +351,36 @@ def bin_chunk_kernel_exact(count, steps, zbuf, flat, z, val, *, npix: int,
         take, lax.bitcast_convert_type(dvb.reshape(-1)[:npix], jnp.float32), steps
     )
     return count, steps, zbuf
+
+
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret"))
+def bin_chunk_kernel_depth(zbuf, flat, z, *, npix: int,
+                           section: int = DEFAULT_SECTION, interpret: bool = False):
+    """DEPTH-semantics accumulation through the sort-bin pipeline.
+
+    A depth render needs only the per-pixel max z (src/lib.rs:875-899 reads
+    nothing else). The PACKED machinery runs unchanged with the winner key
+    set to the monotone-u32 image of z: the per-pixel run max IS the max
+    depth, and the chunk merge is a plain ``maximum``. ~3x the scatter
+    DEPTH path on v5e (one scatter still costs ~8 ns/pt serially).
+
+    ``zbuf`` is the flattened (npix,) f32 plane with the -1.0 sentinel
+    (src/lib.rs:693); mono keys are compared in u32 space and mapped back,
+    which preserves the sentinel exactly (the map is a bijection). A delta
+    key of 0 means "no visit" and corresponds to -NaN, which the step
+    function can never emit (NaN z is canonicalized to -inf), so it never
+    beats any standing value.
+    """
+    # canonicalize zero sign: the monotone map splits -0.0 / +0.0 into
+    # adjacent keys while the reference's float compare ties them
+    z = jnp.where(z == 0.0, jnp.float32(0.0), z.astype(jnp.float32))
+    zm = _mono_u32(z)
+    sorted_arrays, S, R_s, rl, alloc_rows = _sections(
+        npix, flat, [zm], section, [jnp.uint32(0)], stable=False
+    )
+    _, dzm = _run_apply(
+        sorted_arrays, S, R_s, rl, alloc_rows,
+        first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
+    )
+    zm_old = _mono_u32(zbuf)
+    return (_inv_mono_u32(jnp.maximum(zm_old, dzm.reshape(-1)[:npix])),)

@@ -125,7 +125,7 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
         # previous point advances even when out of bounds (src/lib.rs:789-795)
         if strategy.planes_kind() == BinStrategy.PACKED:  # PACKED and KERNEL
             emitted = (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
-        elif strategy == BinStrategy.DEPTH:
+        elif strategy.planes_kind() == BinStrategy.DEPTH:  # DEPTH and DEPTH_KERNEL
             emitted = (flat, z2.astype(jnp.float32))
         else:
             emitted = (flat, z2.astype(jnp.float32), val.astype(jnp.float32))
@@ -171,17 +171,17 @@ def _bin_fn(config: Config, strategy: BinStrategy):
     operate on the standard flattened (npix,) planes; the *_KERNEL ones run
     the sort-bin pipeline (:mod:`ops.kernel_binning`) instead of XLA
     scatters (:mod:`ops.binning`)."""
-    if strategy in (BinStrategy.KERNEL, BinStrategy.EXACT_KERNEL):
+    if strategy in (BinStrategy.KERNEL, BinStrategy.EXACT_KERNEL, BinStrategy.DEPTH_KERNEL):
         from .ops import kernel_binning as kb
 
         npix = config.width * config.height
         section = config.resolved_kernel_section()
         interpret = jax.default_backend() != "tpu"
-        fn = (
-            kb.bin_chunk_kernel
-            if strategy == BinStrategy.KERNEL
-            else kb.bin_chunk_kernel_exact
-        )
+        fn = {
+            BinStrategy.KERNEL: kb.bin_chunk_kernel,
+            BinStrategy.EXACT_KERNEL: kb.bin_chunk_kernel_exact,
+            BinStrategy.DEPTH_KERNEL: kb.bin_chunk_kernel_depth,
+        }[strategy]
 
         def bin_planes(planes, emitted):
             return fn(*planes, *emitted, npix=npix, section=section, interpret=interpret)
@@ -297,7 +297,9 @@ def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> None:
         silent=True,
     )
     state = render(warm, RenderState.create(config, strategy), jax.random.PRNGKey(0))
-    jax.device_get(state.count.sum())
+    # DEPTH states carry only a zbuf plane (count is None)
+    sync = state.count if state.count is not None else state.zbuf
+    jax.device_get(sync.sum())
 
 
 def render(

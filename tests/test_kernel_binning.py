@@ -288,3 +288,37 @@ def test_canvas_geometry():
         assert sentinel >= npix
         assert alloc_rows % kb.WINDOW_ROWS == 0
         assert sentinel == (alloc_rows - kb.WINDOW_ROWS) * kb.LANES
+
+
+def test_depth_kernel_matches_scatter_depth():
+    """DEPTH_KERNEL == scatter DEPTH max-z per pixel, incl. zero signs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strange_attractor_tpu.ops import binning, kernel_binning as kb
+
+    rng = np.random.default_rng(11)
+    npix = 64 * 36
+    n = 4096
+    flat = rng.integers(0, npix + 1, n).astype(np.int32)  # npix = out of bounds
+    z = rng.normal(size=n).astype(np.float32)
+    z[:16] = 0.0
+    z[16:32] = -0.0  # monotone-map tie edge
+    zbuf0 = jnp.full((npix,), -1.0, jnp.float32)
+
+    (ref,) = binning.bin_chunk_depth(zbuf0, jnp.asarray(flat), jnp.asarray(z))
+    (got,) = kb.bin_chunk_kernel_depth(
+        zbuf0, jnp.asarray(flat), jnp.asarray(z), npix=npix, section=1 << 10,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # accumulate a second chunk on top: merge must stay a plain max
+    flat2 = rng.integers(0, npix + 1, n).astype(np.int32)
+    z2 = rng.normal(size=n).astype(np.float32)
+    (ref2,) = binning.bin_chunk_depth(ref, jnp.asarray(flat2), jnp.asarray(z2))
+    (got2,) = kb.bin_chunk_kernel_depth(
+        got, jnp.asarray(flat2), jnp.asarray(z2), npix=npix, section=1 << 10,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))

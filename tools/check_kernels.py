@@ -97,6 +97,20 @@ def main() -> int:
         print("steps mismatches:", bad, np.asarray(st_e)[bad], es[bad])
         return 1
 
+    # DEPTH_KERNEL: per-pixel max z through the same machinery
+    zb_d = jnp.full((npix,), -1.0, jnp.float32)
+    (zb_d,) = kb.bin_chunk_kernel_depth(
+        zb_d, jnp.asarray(flat), jnp.asarray(z),
+        npix=npix, section=1 << seclog, interpret=interpret,
+    )
+    dz = np.full(npix + 1, -1.0, np.float32)
+    for f, zz in zip(flat, z):
+        dz[f] = max(dz[f], zz)
+    ok_d = (np.asarray(zb_d) == dz[:npix]).all()
+    print(f"depth: zbuf {ok_d}")
+    if not ok_d:
+        return 1
+
     if not interpret:
         # throughput: in-jit repetition buries the ~4ms dispatch latency
         fj, pj = jnp.asarray(flat), jnp.asarray(packed)
