@@ -410,6 +410,10 @@ def render(
     if on_progress is not None and rem:
         on_progress(done, nchunks, _partial_state(copy=True))
     if not config.silent:
+        from .utils.profiling import hard_sync
+
+        # dispatches are async — sync before timing or the rate is fiction
+        hard_sync(planes)
         executed = lanes * chunk_steps * nchunks
         dtime = time.perf_counter() - t0
         print(
