@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from strange_attractor_tpu import colorize, presets, render
-from strange_attractor_tpu.config import BinStrategy
+from strange_attractor_tpu.config import BinStrategy, RenderKind
 from strange_attractor_tpu.oracle import oracle_bin
 from strange_attractor_tpu.parallel.mesh import (
     merge_collective,
@@ -82,25 +82,32 @@ def test_merge_collective_packed(cpu_devices):
 
 @pytest.mark.parametrize(
     "strategy", [BinStrategy.EXACT, BinStrategy.PACKED, BinStrategy.KERNEL,
-                 BinStrategy.EXACT_KERNEL]
+                 BinStrategy.EXACT_KERNEL, BinStrategy.DEPTH_KERNEL]
 )
 def test_render_sharded(cpu_devices, strategy):
+    depth = strategy is BinStrategy.DEPTH_KERNEL
     cfg = presets.poisson_saturne(
         width=64, height=36, iterations=100_000, lanes=256, chunk_steps=64,
         seed=4, bin_strategy=strategy,
+        render=RenderKind.DEPTH if depth else RenderKind.GAS,
     )
     st = render_sharded(cfg, cpu_devices)
-    total = int(st.count.sum())
-    assert total > 0
+    # DEPTH states carry only the zbuf plane; visited pixels leave the -1
+    # sentinel (src/lib.rs:693)
+    cov = (lambda s: np.asarray(s.zbuf) != -1.0) if depth else (
+        lambda s: np.asarray(s.count) > 0
+    )
+    assert cov(st).sum() > 0
     img = np.asarray(jax.device_get(colorize(cfg, st)))
     assert img.shape == (36, 64, 4) and img[..., :3].max() > 0
 
     # statistically consistent with a single-device render of the same budget
     st1 = render(cfg)
-    c_sh = np.asarray(st.count).astype(np.float64)
-    c_1 = np.asarray(st1.count).astype(np.float64)
-    assert abs(c_sh.sum() - c_1.sum()) / max(c_1.sum(), 1) < 0.05
-    va, vb = c_sh > 0, c_1 > 0
+    if not depth:
+        c_sh = np.asarray(st.count).astype(np.float64)
+        c_1 = np.asarray(st1.count).astype(np.float64)
+        assert abs(c_sh.sum() - c_1.sum()) / max(c_1.sum(), 1) < 0.05
+    va, vb = cov(st), cov(st1)
     assert (va & vb).sum() / max(1, (va | vb).sum()) > 0.6
 
 
