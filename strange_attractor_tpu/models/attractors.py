@@ -100,8 +100,44 @@ class PolynomialSprott2Degree:
         return b"sprott2:" + np.asarray(self.x + self.y + self.z, np.float64).tobytes()
 
 
+class _RK4Ode:
+    """Shared fixed-step RK4 over a component-form derivative.
+
+    Subclasses define ``dt`` (a dataclass field) and
+    ``_deriv_xyz(x, y, z) -> (dx, dy, dz)`` using plain arithmetic (works
+    for both jnp and numpy arrays). Provides the protocol ``step``, the
+    hot-path ``step_xyz`` (see PolynomialSprott2Degree.step_xyz for why
+    components matter on TPU), and the oracle's ``step_numpy``.
+    """
+
+    def _rk4_xyz(self, x, y, z):
+        h = x.dtype.type(self.dt)
+        k1 = self._deriv_xyz(x, y, z)
+        k2 = self._deriv_xyz(x + 0.5 * h * k1[0], y + 0.5 * h * k1[1], z + 0.5 * h * k1[2])
+        k3 = self._deriv_xyz(x + 0.5 * h * k2[0], y + 0.5 * h * k2[1], z + 0.5 * h * k2[2])
+        k4 = self._deriv_xyz(x + h * k3[0], y + h * k3[1], z + h * k3[2])
+        s = h / x.dtype.type(6.0)
+        return tuple(
+            v + s * (a + 2.0 * b + 2.0 * c + d)
+            for v, a, b, c, d in zip((x, y, z), k1, k2, k3, k4)
+        )
+
+    def step_xyz(self, x, y, z):
+        return self._rk4_xyz(x, y, z)
+
+    def step(self, p):
+        import jax.numpy as jnp
+
+        nx, ny, nz = self._rk4_xyz(p[..., 0], p[..., 1], p[..., 2])
+        return jnp.stack([nx, ny, nz], axis=-1).astype(p.dtype)
+
+    def step_numpy(self, p: np.ndarray) -> np.ndarray:
+        nx, ny, nz = self._rk4_xyz(p[..., 0], p[..., 1], p[..., 2])
+        return np.stack([nx, ny, nz], axis=-1).astype(p.dtype)
+
+
 @dataclasses.dataclass(frozen=True)
-class Lorenz:
+class Lorenz(_RK4Ode):
     """Lorenz system integrated with a fixed-step RK4 — a continuous-time
     attractor demonstrating that the :class:`Attractor` protocol is not tied
     to polynomial maps (the reference's trait makes the same point,
@@ -116,33 +152,60 @@ class Lorenz:
     beta: float = 8.0 / 3.0
     dt: float = 0.005
 
-    def _deriv(self, p, xp):
-        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    def _deriv_xyz(self, x, y, z):
         dx = self.sigma * (y - x)
         dy = x * (self.rho - z) - y
         dz = x * y - self.beta * z
-        return xp.stack([dx, dy, dz], axis=-1)
-
-    def _rk4(self, p, xp):
-        h = p.dtype.type(self.dt) if xp is np else self.dt
-        k1 = self._deriv(p, xp)
-        k2 = self._deriv(p + 0.5 * h * k1, xp)
-        k3 = self._deriv(p + 0.5 * h * k2, xp)
-        k4 = self._deriv(p + h * k3, xp)
-        return p + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
-
-    def step(self, p):
-        import jax.numpy as jnp
-
-        return self._rk4(p, jnp).astype(p.dtype)
-
-    def step_numpy(self, p: np.ndarray) -> np.ndarray:
-        return self._rk4(p, np).astype(p.dtype)
+        return dx, dy, dz
 
     def fingerprint(self) -> bytes:
         return b"lorenz:" + np.asarray(
             [self.sigma, self.rho, self.beta, self.dt], np.float64
         ).tobytes()
+
+
+@dataclasses.dataclass(frozen=True)
+class Rossler(_RK4Ode):
+    """Roessler system (1976): dx=-y-z, dy=x+a*y, dz=b+z*(x-c).
+
+    The classic a=b=0.2, c=5.7 parameters produce the single-scroll funnel
+    band. Continuous-time, like :class:`Lorenz`; not in the reference.
+    """
+
+    a: float = 0.2
+    b: float = 0.2
+    c: float = 5.7
+    dt: float = 0.02
+
+    def _deriv_xyz(self, x, y, z):
+        dx = -y - z
+        dy = x + self.a * y
+        dz = self.b + z * (x - self.c)
+        return dx, dy, dz
+
+    def fingerprint(self) -> bytes:
+        return b"rossler:" + np.asarray(
+            [self.a, self.b, self.c, self.dt], np.float64
+        ).tobytes()
+
+
+@dataclasses.dataclass(frozen=True)
+class Halvorsen(_RK4Ode):
+    """Halvorsen's cyclically symmetric attractor:
+    dx=-a*x-4y-4z-y^2 (and cyclic permutations). a=1.4 is the classic set.
+    """
+
+    a: float = 1.4
+    dt: float = 0.005
+
+    def _deriv_xyz(self, x, y, z):
+        dx = -self.a * x - 4.0 * y - 4.0 * z - y * y
+        dy = -self.a * y - 4.0 * z - 4.0 * x - z * z
+        dz = -self.a * z - 4.0 * x - 4.0 * y - x * x
+        return dx, dy, dz
+
+    def fingerprint(self) -> bytes:
+        return b"halvorsen:" + np.asarray([self.a, self.dt], np.float64).tobytes()
 
 
 def as_xyz_step(attractor):

@@ -11,10 +11,10 @@ import math
 
 from ..config import Config, View
 from ..ops.projection import EulerAxisRotation
-from .attractors import Lorenz, PolynomialSprott2Degree
+from .attractors import Halvorsen, Lorenz, PolynomialSprott2Degree, Rossler
 from .transforms import AdjustedVelocity, poisson_saturne_transform
 
-PRESET_NAMES = ("poisson-saturne", "solar-sail", "lorenz")
+PRESET_NAMES = ("poisson-saturne", "solar-sail", "lorenz", "rossler", "halvorsen")
 
 
 def poisson_saturne(**overrides) -> Config:
@@ -142,6 +142,44 @@ def lorenz(**overrides) -> Config:
     )
 
 
+def rossler(**overrides) -> Config:
+    """Roessler funnel band (continuous-time; NOT in the reference).
+
+    Viewed top-down (identity rotation): the band lives roughly in
+    x in [-11, 13], y in [-13, 8]; depth is the spiral's z spike.
+    """
+    view = View(
+        center_camera=(-1.0, -12.0, 2.5),  # (pairs: x->screen-x, y->depth, z->screen-y)
+        rotation=EulerAxisRotation(axis=(1.0, 0.0, 0.0), rotation=0.0),
+        scale=1.0 / 42.0,
+    )
+    return Config(
+        attractor=Rossler(),
+        view=view,
+        color_transform=AdjustedVelocity(offset=-0.05, factor=1.6),
+        **overrides,
+    )
+
+
+def halvorsen(**overrides) -> Config:
+    """Halvorsen cyclic attractor (continuous-time; NOT in the reference).
+
+    The three-fold symmetric loops span roughly [-10, 5]^3; tilt the view
+    slightly off the symmetry axis so the loops separate.
+    """
+    view = View(
+        center_camera=(6.0, 2.5, 2.5),
+        rotation=EulerAxisRotation(axis=(1.0, 1.0, 0.0), rotation=0.6, normalize=True),
+        scale=1.0 / 44.0,
+    )
+    return Config(
+        attractor=Halvorsen(),
+        view=view,
+        color_transform=AdjustedVelocity(offset=-0.1, factor=0.25),
+        **overrides,
+    )
+
+
 def by_name(name: str, **overrides) -> Config:
     """Look up a preset by CLI name (reference: src/bin/main.rs:400-408)."""
     if name == "poisson-saturne":
@@ -150,4 +188,8 @@ def by_name(name: str, **overrides) -> Config:
         return solar_sail(**overrides)
     if name == "lorenz":
         return lorenz(**overrides)
+    if name == "rossler":
+        return rossler(**overrides)
+    if name == "halvorsen":
+        return halvorsen(**overrides)
     raise KeyError(f"unknown preset {name!r}; choose from {PRESET_NAMES}")

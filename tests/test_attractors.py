@@ -118,3 +118,37 @@ def test_config_validation():
         presets.poisson_saturne(iterations=-1)
     with pytest.raises(ValueError, match="warmup"):
         presets.poisson_saturne(warmup=-5)
+
+
+@pytest.mark.parametrize("name", ["rossler", "halvorsen"])
+def test_ode_presets_render_in_frame(name):
+    """The new continuous-time presets stay bounded and framed."""
+    import jax
+    from strange_attractor_tpu import colorize, render
+
+    cfg = presets.by_name(name, iterations=200_000, width=96, height=54,
+                          seed=3, lanes=128)
+    st = render(cfg)
+    c = np.asarray(st.count)
+    assert c.sum() > 150_000  # most points land in frame
+    # attractor occupies the interior, not the borders
+    assert c[:2, :].sum() + c[-2:, :].sum() < 0.05 * c.sum()
+    assert c[:, :2].sum() + c[:, -2:].sum() < 0.05 * c.sum()
+    img = np.asarray(jax.device_get(colorize(cfg, st)))
+    assert img[..., :3].max() > 0
+
+
+@pytest.mark.parametrize("cls_name", ["Rossler", "Halvorsen", "Lorenz"])
+def test_rk4_step_xyz_matches_stacked(cls_name):
+    """Component-form step (hot path) == stacked protocol step == numpy."""
+    from strange_attractor_tpu.models import attractors
+
+    a = getattr(attractors, cls_name)()
+    p = np.array([[0.05, 0.03, 0.08], [-1.0, 0.5, 2.0]], np.float32)
+    stacked = np.asarray(a.step(jnp.asarray(p)))
+    xyz = np.stack(
+        [np.asarray(v) for v in a.step_xyz(*(jnp.asarray(p[:, i]) for i in range(3)))],
+        axis=-1,
+    )
+    np.testing.assert_array_equal(stacked, xyz)
+    np.testing.assert_allclose(stacked, a.step_numpy(p), rtol=2e-6, atol=1e-6)
