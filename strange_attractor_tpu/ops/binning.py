@@ -24,16 +24,21 @@ bounds-check ``continue`` at src/lib.rs:789-795.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
 # Order-preserving uint32 image of f32(-1.0): bits(-1.0) = 0xBF80_0000 is
 # negative, so mono = ~bits = 0x407F_FFFF.
-_MONO_NEG1 = jnp.uint32(0x407FFFFF)
+# numpy scalars, NOT jnp: module-level jnp constants initialize the XLA
+# backend at import, which breaks jax.distributed.initialize() (it must run
+# before any backend touch — parallel/distributed.py).
+_MONO_NEG1 = np.uint32(0x407FFFFF)
 _VAL_BITS = 12
 _VAL_SCALE = float(1 << _VAL_BITS)
-_VAL_MASK = jnp.uint32((1 << _VAL_BITS) - 1)
-_ZKEY_MASK = jnp.uint32(0xFFFFFFFF ^ ((1 << _VAL_BITS) - 1))
+_VAL_MASK = np.uint32((1 << _VAL_BITS) - 1)
+_ZKEY_MASK = np.uint32(0xFFFFFFFF ^ ((1 << _VAL_BITS) - 1))
 
 
 def _mono_u32(z):

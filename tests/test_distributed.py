@@ -1,0 +1,93 @@
+"""Multi-host integration: two real processes, one global CPU mesh.
+
+Verifies SURVEY.md §5's distributed-backend equivalent end-to-end: each
+process contributes 2 CPU devices, ``render_distributed`` shards lanes over
+the global 4-device mesh, the collective merge runs over gloo, and the
+replicated result matches a single-process render statistically (the
+reference's merge-of-independent-renders argument, src/lib.rs:1037-1048).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r'''
+import json, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+from strange_attractor_tpu.parallel import distributed as dist
+
+dist.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert dist.process_count() == 2
+assert jax.device_count() == 4
+
+import numpy as np
+from strange_attractor_tpu import presets, render
+
+cfg = presets.poisson_saturne(
+    width=64, height=36, iterations=60_000, lanes=128, chunk_steps=32, seed=9,
+)
+state = dist.render_distributed(cfg)
+count = np.asarray(state.count)
+
+if dist.is_primary():
+    single = np.asarray(render(cfg).count)
+    lit_d, lit_1 = count > 0, single > 0
+    print("RESULT " + json.dumps({
+        "total": int(count.sum()),
+        "single_total": int(single.sum()),
+        "iou": float((lit_d & lit_1).sum() / max(1, (lit_d | lit_1).sum())),
+    }))
+else:
+    # every process holds a replicated copy of the merged canvas
+    print("RESULT " + json.dumps({"total": int(count.sum())}))
+'''
+
+
+def test_two_process_render(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append(out)
+
+    results = {}
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"worker {i} produced no result:\n{out[-3000:]}"
+        results[i] = json.loads(line[-1][len("RESULT "):])
+
+    # both processes hold the same merged (replicated) canvas
+    assert results[0]["total"] == results[1]["total"] > 0
+    # statistically equivalent to a single-process render of the same budget
+    assert abs(results[0]["total"] - results[0]["single_total"]) <= 0.05 * results[0]["single_total"]
+    assert results[0]["iou"] > 0.6
