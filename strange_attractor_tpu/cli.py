@@ -73,6 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write to file name")
     p.add_argument("--single-device", "--single-thread", dest="single_device",
                    action="store_true", help="Run on a single device")
+    p.add_argument("--distributed", action="store_true",
+                   help="Multi-host rendering: bring up jax.distributed before "
+                        "touching devices (auto-detects TPU pod / SLURM / MPI "
+                        "environments; launch the same command on every host). "
+                        "Only the primary process writes output files.")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="Explicit jax.distributed coordinator address (implies "
+                        "--distributed; also pass --num-processes/--process-id)")
+    p.add_argument("--num-processes", dest="num_processes", type=int, default=None,
+                   help="Total process count for --coordinator bring-up")
+    p.add_argument("--process-id", dest="process_id", type=int, default=None,
+                   help="This process's index for --coordinator bring-up")
     p.add_argument("-q", "--silent", action="store_true", help="Decrease verbosity")
     p.add_argument("-j", "--jobs-per-thread", dest="jobs_per_thread", type=int, default=12,
                    help="Accepted for reference-CLI compatibility; TPU work "
@@ -255,6 +267,17 @@ def main(argv=None) -> int:
     if args.subcommand == "doctor":
         return doctor()
 
+    if args.distributed or args.coordinator:
+        # must run before anything touches the XLA backend
+        from .parallel import distributed as dist
+
+        args.distributed = True
+        dist.initialize(args.coordinator, args.num_processes, args.process_id)
+        if not dist.is_primary():
+            # collective programs must run on every process, but only the
+            # primary writes files; silence the others
+            args.silent = True
+
     import importlib
 
     from .utils.profiling import enable_compilation_cache
@@ -280,7 +303,13 @@ def main(argv=None) -> int:
 
     def write_async(image, path_base):
         """Overlap host-side encode with the next frame's device render
-        (reference spawns an encoder thread per frame, main.rs:507-511)."""
+        (reference spawns an encoder thread per frame, main.rs:507-511).
+        Under --distributed only the primary process writes."""
+        if args.distributed:
+            import jax
+
+            if jax.process_index() != 0:
+                return
         t = threading.Thread(
             target=write_image,
             args=(path_base, image),

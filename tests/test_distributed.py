@@ -91,3 +91,55 @@ def test_two_process_render(tmp_path):
     # statistically equivalent to a single-process render of the same budget
     assert abs(results[0]["total"] - results[0]["single_total"]) <= 0.05 * results[0]["single_total"]
     assert results[0]["iou"] > 0.6
+
+
+_CLI_WORKER = r'''
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+pid, port, outdir = sys.argv[1], sys.argv[2], sys.argv[3]
+
+from strange_attractor_tpu.cli import main
+
+rc = main([
+    "--coordinator", f"127.0.0.1:{port}", "--num-processes", "2",
+    "--process-id", pid,
+    "-i", "40000", "-w", "48", "-h", "27", "--lanes", "64",
+    "--chunk-steps", "32", "--seed", "5", "-8", "-q",
+    "-o", f"{outdir}/dist",
+])
+print("RC", rc)
+'''
+
+
+def test_cli_distributed_two_processes(tmp_path):
+    """`--coordinator` bring-up end-to-end: both processes render the
+    collective program; only the primary writes the file."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    outs = [tmp_path / "p0", tmp_path / "p1"]
+    for d in outs:
+        d.mkdir()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CLI_WORKER, str(i), str(port), str(outs[i])],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("CLI distributed worker timed out")
+        assert p.returncode == 0 and "RC 0" in out, f"worker {i}:\n{out[-3000:]}"
+
+    assert (outs[0] / "dist.png").exists(), "primary must write the image"
+    assert not (outs[1] / "dist.png").exists(), "secondary must not write"
