@@ -416,7 +416,17 @@ def _render_stateful(args, config, render_mod, state):
                             silent=True)
 
         state = render_mod.render(config, state, on_progress=on_progress)
-    image = np.asarray(jax.device_get(render_mod.colorize(config, state)))
+    # convert on device before fetching: 2.7x fewer bytes over the device
+    # link for the default 8-bit-opaque case (utils/export docstring)
+    from .utils.export import convert_format_device
+
+    image = np.asarray(
+        jax.device_get(
+            convert_format_device(
+                render_mod.colorize(config, state), args.transparent, args.eight_bit
+            )
+        )
+    )
     return image, state
 
 

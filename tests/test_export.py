@@ -250,3 +250,21 @@ def test_png_noncontiguous_input(img16):
     assert not view.flags["C_CONTIGUOUS"]
     got = _decode_png(png_bytes(view))
     np.testing.assert_array_equal(got, np.ascontiguousarray(view))
+
+
+def test_convert_format_device_twin_and_idempotence():
+    """Device-side conversion == host conversion, and write path's host
+    convert_format is a no-op on pre-converted input."""
+    import jax.numpy as jnp
+
+    from strange_attractor_tpu.utils.export import convert_format, convert_format_device
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65536, (7, 9, 4), dtype=np.uint16)
+    for transparent in (False, True):
+        for eight_bit in (False, True):
+            host = convert_format(img, transparent, eight_bit)
+            dev = np.asarray(convert_format_device(jnp.asarray(img), transparent, eight_bit))
+            np.testing.assert_array_equal(host, dev)
+            # idempotent: feeding the converted array back changes nothing
+            np.testing.assert_array_equal(convert_format(dev, transparent, eight_bit), host)
