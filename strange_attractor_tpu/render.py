@@ -246,8 +246,7 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
         """Seed U[0,1)^3 * 0.1 then warm up (src/lib.rs:748-752)."""
         p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
         warmed = lax.fori_loop(
-            0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0),
-            unroll=8,
+            0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0)
         )
         return _join_xyz(*warmed)
 
@@ -495,9 +494,7 @@ def _canvas_body(
     def body(key, cos_v, sin_v):
         p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
         cur = _join_xyz(
-            *lax.fori_loop(
-                0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0), unroll=8
-            )
+            *lax.fori_loop(0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0))
         )
         prev = cur
         age = jnp.zeros((lanes,), jnp.int32)
