@@ -87,12 +87,12 @@ ROW_LANES = 1024
 DEFAULT_SECTION = 1 << 17
 
 
-def canvas_geometry(npix: int) -> tuple[int, int]:
+def canvas_geometry(npix: int, window_rows: int = WINDOW_ROWS) -> tuple[int, int]:
     """(alloc_rows, sentinel_flat): canvas rows padded to whole windows plus
     one garbage window that absorbs out-of-bounds points."""
     nrows = -(-npix // LANES)
-    alloc_rows = -(-nrows // WINDOW_ROWS) * WINDOW_ROWS + WINDOW_ROWS
-    sentinel = (alloc_rows - WINDOW_ROWS) * LANES
+    alloc_rows = -(-nrows // window_rows) * window_rows + window_rows
+    sentinel = (alloc_rows - window_rows) * LANES
     return alloc_rows, sentinel
 
 
@@ -125,19 +125,18 @@ def _winner_mask(f_ref, r, nrows, lane1, rl, *, first: bool):
     return f_row, mask
 
 
-def _u32_from_bytes(a, off):
+def _u32_from_bytes(a, off, W):
     """Recombine 4 accumulated byte planes (f32, each < 256) to uint32.
 
-    ``a`` is the (WINDOW_ROWS * n_blocks, 128) scratch; payload bytes live
-    in WINDOW_ROWS-row blocks starting at block ``off`` (block 0 = count).
+    ``a`` is the (W * n_blocks, 128) scratch; payload bytes live in
+    W-row blocks starting at block ``off`` (block 0 = count).
     """
-    W = WINDOW_ROWS
     bs = [a[W * (off + b): W * (off + b + 1), :].astype(jnp.int32).astype(jnp.uint32)
           for b in range(4)]
     return (bs[3] << 24) | (bs[2] << 16) | (bs[1] << 8) | bs[0]
 
 
-def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: int):
+def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: int, w: int):
     """Shared row-walk kernel: count + ``n_payload`` byte-decomposed winner
     payloads, window-scratch accumulation, ``flush_fn(acc_ref, refs, cur)``
     writing one window back to the delta planes. ``rl`` points per row.
@@ -150,7 +149,7 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
     ~40% fewer VPU cells per point at identical MAC count.
     """
     n_blocks = 1 + 4 * n_payload
-    W = WINDOW_ROWS
+    W = w
 
     def kernel(f_ref, *rest):
         payload_refs = rest[:n_payload]
@@ -170,7 +169,7 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
         def flush(cur):
             @pl.when(cur >= 0)
             def _():
-                flush_fn(acc_ref, out_refs, cur)
+                flush_fn(acc_ref, out_refs, cur, W)
                 acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
         def row_body(r, cur):
@@ -216,25 +215,23 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
     return kernel, n_blocks
 
 
-def _flush_packed(acc_ref, out_refs, cur):
+def _flush_packed(acc_ref, out_refs, cur, W):
     cnt_ref, pk_ref = out_refs
-    base = cur * WINDOW_ROWS
+    base = cur * W
     a = acc_ref[:, :]
-    W = WINDOW_ROWS
     cnt_ref[pl.ds(base, W), :] += a[:W, :].astype(jnp.int32).astype(jnp.uint32)
-    pk_new = _u32_from_bytes(a, 1)
+    pk_new = _u32_from_bytes(a, 1, W)
     old = pk_ref[pl.ds(base, W), :]
     pk_ref[pl.ds(base, W), :] = jnp.where(old < pk_new, pk_new, old)
 
 
-def _flush_exact(acc_ref, out_refs, cur):
+def _flush_exact(acc_ref, out_refs, cur, W):
     cnt_ref, zd_ref, vb_ref = out_refs
-    base = cur * WINDOW_ROWS
+    base = cur * W
     a = acc_ref[:, :]
-    W = WINDOW_ROWS
     cnt_ref[pl.ds(base, W), :] += a[:W, :].astype(jnp.int32).astype(jnp.uint32)
-    zd_new = _u32_from_bytes(a, 1)  # descending-z key; 0 == no winner here
-    vb_new = _u32_from_bytes(a, 5)  # winner's f32 value bits
+    zd_new = _u32_from_bytes(a, 1, W)  # descending-z key; 0 == no winner here
+    vb_new = _u32_from_bytes(a, 5, W)  # winner's f32 value bits
     zd_old = zd_ref[pl.ds(base, W), :]
     # smaller nonzero key = greater z; strict < keeps the earlier section's
     # winner on exact z ties (the reference's z2 > zbuf, src/lib.rs:821)
@@ -244,7 +241,7 @@ def _flush_exact(acc_ref, out_refs, cur):
     vb_ref[pl.ds(base, W), :] = jnp.where(take, vb_new, vb_old)
 
 
-def _sections(npix, flat, payloads, section, pad_values, *, stable=True):
+def _sections(npix, flat, payloads, section, pad_values, *, stable=True, w=WINDOW_ROWS):
     """Sentinel-map + pad + section-reshape + sort (keys: flat and the
     first payload; remaining payloads ride along).
 
@@ -253,7 +250,7 @@ def _sections(npix, flat, payloads, section, pad_values, *, stable=True):
     (docs/KERNEL_NOTES.md round-2 ladder). EXACT_KERNEL must stay stable:
     its earliest-wins z-tie rule rides on emission order among (flat, z)
     ties (src/lib.rs:818-833)."""
-    alloc_rows, sentinel = canvas_geometry(npix)
+    alloc_rows, sentinel = canvas_geometry(npix, w)
     m = flat.size
     sec = min(section, _round_pow2(m))
     pad = (-m) % sec
@@ -274,8 +271,8 @@ def _sections(npix, flat, payloads, section, pad_values, *, stable=True):
     return [a.reshape(S, R_s, rl) for a in arrays], S, R_s, rl, alloc_rows
 
 
-def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out, interpret):
-    kern, n_blocks = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn, rl)
+def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out, interpret, w=WINDOW_ROWS):
+    kern, n_blocks = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn, rl, w)
     return pl.pallas_call(
         kern,
         grid=(S,),
@@ -286,15 +283,16 @@ def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out,
         out_specs=[
             pl.BlockSpec((alloc_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_out,
-        scratch_shapes=[pltpu.VMEM((WINDOW_ROWS * n_blocks, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((w * n_blocks, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*sorted_arrays)
 
 
-@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret"))
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret", "window"))
 def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
-                     section: int = DEFAULT_SECTION, interpret: bool = False):
+                     section: int = DEFAULT_SECTION, interpret: bool = False,
+                     window: int = WINDOW_ROWS):
     """PACKED-semantics accumulation of one point chunk (KERNEL strategy).
 
     ``count``/``packed`` are the standard flattened (npix,) planes. ``flat``
@@ -304,20 +302,29 @@ def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
     """
     # both operands are keys: unstable sort is semantics-free and 33% faster
     sorted_arrays, S, R_s, rl, alloc_rows = _sections(
-        npix, flat, [packed_update], section, [jnp.uint32(0)], stable=False
+        npix, flat, [packed_update], section, [jnp.uint32(0)], stable=False,
+        w=window,
     )
     dcnt, dpk = _run_apply(
         sorted_arrays, S, R_s, rl, alloc_rows,
         first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
+        w=window,
     )
     count = count + dcnt.reshape(-1)[:npix]
     packed = jnp.maximum(packed, dpk.reshape(-1)[:npix])
     return count, packed
 
 
-@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret"))
+# EXACT carries 9 scratch blocks (count + 8 winner byte planes); its apply
+# prefers a smaller window than KERNEL's 5 blocks: end-to-end 4e8 sweep
+# W=8 -> 285.5M, 16 -> 303.1M, 32 -> 295.3M, 64 -> 270.0M iters/s
+EXACT_WINDOW_ROWS = 16
+
+
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret", "window"))
 def bin_chunk_kernel_exact(count, steps, zbuf, flat, z, val, *, npix: int,
-                           section: int = DEFAULT_SECTION, interpret: bool = False):
+                           section: int = DEFAULT_SECTION, interpret: bool = False,
+                           window: int = EXACT_WINDOW_ROWS):
     """Reference-faithful accumulation (EXACT_KERNEL strategy).
 
     Same planes/semantics as :func:`ops.binning.bin_chunk_exact` — full f32
@@ -335,11 +342,13 @@ def bin_chunk_kernel_exact(count, steps, zbuf, flat, z, val, *, npix: int,
     zdesc = ~_mono_u32(z)
     valbits = lax.bitcast_convert_type(val.astype(jnp.float32), jnp.uint32)
     sorted_arrays, S, R_s, rl, alloc_rows = _sections(
-        npix, flat, [zdesc, valbits], section, [jnp.uint32(0), jnp.uint32(0)]
+        npix, flat, [zdesc, valbits], section, [jnp.uint32(0), jnp.uint32(0)],
+        w=window,
     )
     dcnt, dzd, dvb = _run_apply(
         sorted_arrays, S, R_s, rl, alloc_rows,
         first=True, flush_fn=_flush_exact, n_out=3, interpret=interpret,
+        w=window,
     )
     count = count + dcnt.reshape(-1)[:npix]
     zd = dzd.reshape(-1)[:npix]
@@ -353,9 +362,10 @@ def bin_chunk_kernel_exact(count, steps, zbuf, flat, z, val, *, npix: int,
     return count, steps, zbuf
 
 
-@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret"))
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret", "window"))
 def bin_chunk_kernel_depth(zbuf, flat, z, *, npix: int,
-                           section: int = DEFAULT_SECTION, interpret: bool = False):
+                           section: int = DEFAULT_SECTION, interpret: bool = False,
+                           window: int = WINDOW_ROWS):
     """DEPTH-semantics accumulation through the sort-bin pipeline.
 
     A depth render needs only the per-pixel max z (src/lib.rs:875-899 reads
@@ -376,11 +386,12 @@ def bin_chunk_kernel_depth(zbuf, flat, z, *, npix: int,
     z = jnp.where(z == 0.0, jnp.float32(0.0), z.astype(jnp.float32))
     zm = _mono_u32(z)
     sorted_arrays, S, R_s, rl, alloc_rows = _sections(
-        npix, flat, [zm], section, [jnp.uint32(0)], stable=False
+        npix, flat, [zm], section, [jnp.uint32(0)], stable=False, w=window,
     )
     _, dzm = _run_apply(
         sorted_arrays, S, R_s, rl, alloc_rows,
         first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
+        w=window,
     )
     zm_old = _mono_u32(zbuf)
     return (_inv_mono_u32(jnp.maximum(zm_old, dzm.reshape(-1)[:npix])),)
