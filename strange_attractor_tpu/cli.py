@@ -23,7 +23,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .config import BrightnessConstants, Colors, RenderKind
+from .config import BrightnessConstants, Colors, Palette, RenderKind
 from .models import presets
 from .utils.sequencing import frame_sequence
 
@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=-0.15,
                    help="Offset the brightness. You generally want to decrease this if "
                         "you have > 1e8 iterations.")
+    p.add_argument("--palette", default=None, metavar="STOPS",
+                   help="Custom palette: semicolon-separated r,g,b stops in [0,1], "
+                        "e.g. '1,1,.5;.5,1,.5;1,.5,.5' (default: the reference's "
+                        "6-stop table; interpolation clamps + sqrt per channel)")
     # TPU tuning (no reference counterpart)
     p.add_argument("--lanes", type=int, default=None,
                    help="Parallel trajectory lanes (default: auto from iterations)")
@@ -185,6 +189,17 @@ def _validate(args, parser):
         # matches the reference's InvalidValue error (main.rs:375-378)
     if args.subcommand == "sequence" and args.step <= 0:
         parser.error("step must be a positive")
+    args.palette_stops = None
+    if args.palette:
+        try:
+            stops = [
+                [float(c) for c in stop.split(",")]
+                for stop in args.palette.split(";")
+                if stop.strip()
+            ]
+            args.palette_stops = Palette(stops)  # validates shape/non-empty
+        except (ValueError, TypeError) as e:
+            parser.error(f"--palette: {e}")
 
 
 def config_from_args(args):
@@ -198,7 +213,10 @@ def config_from_args(args):
         height=args.height,
         transparent=args.transparent,
         silent=args.silent,
-        colors=Colors(brightness=BrightnessConstants(offset=args.brightness_offset)),
+        colors=Colors(
+            palette=getattr(args, 'palette_stops', None) or config.colors.palette,
+            brightness=BrightnessConstants(offset=args.brightness_offset),
+        ),
         render=RenderKind.DEPTH if args.depth else RenderKind.GAS,
         angle=float(np.radians(args.angle)),
         lanes=args.lanes,

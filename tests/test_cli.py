@@ -201,3 +201,42 @@ def test_completion_install(tmp_path):
         path = install_completion(shell, parser, home=tmp_path)
         assert path.exists() and tmp_path in path.parents
         assert parser.prog in path.read_text()
+
+
+def test_custom_palette_flag(tmp_path):
+    """--palette drives the interpolation table; bad input errors cleanly."""
+    from strange_attractor_tpu.cli import build_parser, _validate, config_from_args
+
+    parser = build_parser()
+    args = parser.parse_args(
+        ["--palette", "1,0,0;0,1,0;0,0,1", "-i", "1000", "--seed", "1"]
+    )
+    _validate(args, parser)
+    cfg = config_from_args(args)
+    assert cfg.colors.palette.count == 3
+    np.testing.assert_allclose(cfg.colors.palette.stops[0], [1.0, 0.0, 0.0])
+
+    # invalid stop arity -> argparse error, not a traceback
+    import pytest
+    bad = parser.parse_args(["--palette", "1,0;0,1"])
+    with pytest.raises(SystemExit):
+        _validate(bad, parser)
+
+
+def test_custom_palette_end_to_end(tmp_path):
+    """A red-only palette yields a red-dominated render."""
+    from strange_attractor_tpu.cli import main
+
+    out = tmp_path / "red"
+    rc = main([
+        "--palette", "1,0,0;1,0,0", "-i", "20000", "-w", "48", "-h", "27",
+        "--lanes", "32", "--chunk-steps", "16", "--seed", "2", "-8", "-q",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    from PIL import Image
+    arr = np.asarray(Image.open(out.with_suffix(".png")))
+    lit = arr[..., :3].sum(axis=-1) > 0
+    assert lit.any()
+    assert (arr[..., 1][lit] == 0).all() and (arr[..., 2][lit] == 0).all()
+    assert arr[..., 0][lit].max() > 0
