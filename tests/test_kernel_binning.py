@@ -322,3 +322,27 @@ def test_depth_kernel_matches_scatter_depth():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
+@pytest.mark.parametrize("window", [8, 16, 32, 64])
+def test_window_parameterization_exact(window):
+    """Any window height yields identical planes (canvas geometry, scratch
+    blocks, and flush slicing all derive from it)."""
+    import jax.numpy as jnp
+
+    from strange_attractor_tpu.ops import binning, kernel_binning as kb
+
+    rng = np.random.default_rng(window)
+    npix = 96 * 54
+    n = 4096
+    flat = rng.integers(0, npix + 1, n).astype(np.int32)
+    packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    c0 = jnp.zeros((npix,), jnp.uint32)
+    p0 = jnp.zeros((npix,), jnp.uint32)
+    ref_c, ref_p = binning.bin_chunk_packed(c0, p0, jnp.asarray(flat), jnp.asarray(packed))
+    got_c, got_p = kb.bin_chunk_kernel(
+        c0, p0, jnp.asarray(flat), jnp.asarray(packed),
+        npix=npix, section=1 << 10, interpret=True, window=window,
+    )
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
