@@ -110,7 +110,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "depth-kernel"],
                    default="auto",
                    help="Canvas accumulation strategy. 'auto' picks 'kernel' on TPU "
-                        "(sort-bin Pallas pipeline, ~2.5x 'packed'); kernel/packed "
+                        "(sort-bin Pallas pipeline, ~7x 'packed'); kernel/packed "
                         "quantize depth to ~2^-11 relative and the palette position "
                         "to 1/4096 — pass 'exact-kernel' for full-f32 "
                         "reference-faithful accumulation via the same fast pipeline, "
@@ -303,7 +303,7 @@ def main(argv=None) -> int:
     enable_compilation_cache()
 
     render_mod = importlib.import_module(".render", __package__)
-    from .runtime import RenderState, load_state, save_state
+    from .runtime import load_state, save_state
     from .utils.export import write_image
 
     config = config_from_args(args)
