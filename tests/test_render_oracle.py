@@ -236,3 +236,22 @@ def test_on_progress_callback():
     sums = [c[2] for c in calls]
     assert sums == sorted(sums)
     assert int(st.count.sum()) == sums[-1]
+
+
+def test_depth_kernel_render_matches_depth_scatter():
+    """Full render pipeline: DEPTH_KERNEL zbuf == DEPTH scatter zbuf exactly
+    (same emission stream, different accumulation path)."""
+    from strange_attractor_tpu import render
+    from strange_attractor_tpu.config import BinStrategy, RenderKind
+    from strange_attractor_tpu.models import presets
+
+    base = presets.poisson_saturne(
+        width=64, height=36, iterations=40_000, lanes=64, chunk_steps=64,
+        seed=11, render=RenderKind.DEPTH,
+    )
+    st_k = render(base.replace(bin_strategy=BinStrategy.DEPTH_KERNEL))
+    st_s = render(base.replace(bin_strategy=BinStrategy.DEPTH))
+    zk = np.asarray(st_k.zbuf)
+    zs = np.asarray(st_s.zbuf)
+    np.testing.assert_array_equal(zk, zs)
+    assert (zk != -1.0).any()
