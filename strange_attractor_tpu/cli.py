@@ -86,10 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", dest="process_id", type=int, default=None,
                    help="This process's index for --coordinator bring-up")
     p.add_argument("-q", "--silent", action="store_true", help="Decrease verbosity")
-    p.add_argument("-j", "--jobs-per-thread", dest="jobs_per_thread", type=int, default=12,
+    p.add_argument("-j", "--jobs-per-thread", dest="jobs_per_thread", type=int, default=None,
                    help="Accepted for reference-CLI compatibility; TPU work "
                         "scheduling is static (SPMD lanes), so this has no effect. "
-                        "Use --lanes/--chunk-steps to tune instead.")
+                        "Use --lanes/--chunk-steps to tune instead. Conflicts with "
+                        "--single-device, like the reference (main.rs:297-306). "
+                        "(default: 12)")
     p.add_argument("-a", "--angle", type=float, default=0.0,
                    help="Angle to view attractor from (degrees)")
     p.add_argument("-b", "--brightness-offset", dest="brightness_offset", type=float,
@@ -180,6 +182,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _validate(args, parser):
+    # mutual exclusion mirrors the reference's clap conflicts_with
+    # (main.rs:297-306); only an *explicitly passed* -j conflicts, hence
+    # the None default standing in for the documented 12
+    if args.jobs_per_thread is not None and args.single_device:
+        parser.error("-j/--jobs-per-thread conflicts with --single-device")
+    if args.jobs_per_thread is not None and args.jobs_per_thread < 1:
+        parser.error("-j/--jobs-per-thread must be a positive integer "
+                     "(the reference parses NonZeroUsize)")
+    if args.jobs_per_thread is None:
+        args.jobs_per_thread = 12
+    if args.coordinator and (args.num_processes is None or args.process_id is None):
+        parser.error("--coordinator requires --num-processes and --process-id")
     if (args.pam or args.bmp) and not args.eight_bit:
         parser.error("--pam/--bmp require --8-bit (16-bit images are not supported)")
     if args.pam and args.bmp:

@@ -258,9 +258,14 @@ class Config:
         # per-chunk point buffer: the sort-bin pipeline (the TPU default)
         # peaks at ~4M-point chunks (docs/KERNEL_NOTES.md round-2 schedule
         # sweep: 170 -> 175-177M iters/s); the XLA scatter fallbacks peak at
-        # ~1M (smaller flushes keep the scatter pipeline dense)
+        # ~1M (smaller flushes keep the scatter pipeline dense). Key the
+        # choice on the *resolved* strategy: AUTO resolves to a scatter path
+        # off-TPU and must get the scatter optimum there.
+        import jax
+
+        resolved = self.resolved_bin_strategy(jax.default_backend())
         scatter = (BinStrategy.PACKED, BinStrategy.EXACT, BinStrategy.DEPTH)
-        buf = 1 << 20 if self.bin_strategy in scatter else 1 << 22
+        buf = 1 << 20 if resolved in scatter else 1 << 22
         return max(1, min(512, buf // lanes))
 
     def resolved_bin_strategy(self, platform: str) -> BinStrategy:

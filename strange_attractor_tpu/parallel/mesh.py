@@ -41,6 +41,25 @@ from ..config import BinStrategy, Config
 from ..runtime import RenderState
 
 
+def _split_lanes(config: Config, lanes_total: int, ndev: int) -> int:
+    """Per-device lane count. A hand-pinned ``Config.lanes`` that does not
+    divide the device count silently loses budget (100 lanes on 8 devices
+    executes 96); warn so the truncation is visible. Auto-resolved lane
+    counts are multiples of 256 and never trip this on power-of-two
+    meshes."""
+    lanes_local = max(1, lanes_total // ndev)
+    if config.lanes is not None and lanes_local * ndev != lanes_total:
+        import warnings
+
+        warnings.warn(
+            f"lanes={lanes_total} does not divide the {ndev}-device mesh; "
+            f"executing {lanes_local * ndev} lanes ({lanes_local}/device). "
+            "Pin a multiple of the device count for the exact budget.",
+            stacklevel=3,
+        )
+    return lanes_local
+
+
 def lanes_mesh(devices=None) -> Mesh:
     """1D mesh over all (or the given) devices: axis ``lanes``."""
     devices = list(devices) if devices is not None else jax.devices()
@@ -110,7 +129,7 @@ def render_sharded(config: Config, devices=None, key=None) -> RenderState:
     ndev = mesh.devices.size
     strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes_total, chunk_steps, nchunks = plan_schedule(config)
-    lanes_local = max(1, lanes_total // ndev)
+    lanes_local = _split_lanes(config, lanes_total, ndev)
 
     ckey = _sharded_cache_key(
         config, strategy, lanes_local, chunk_steps, nchunks, mesh.devices.flat, "lanes"
@@ -182,7 +201,7 @@ def render_sequence_sharded(
 
     strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes_total, chunk_steps, nchunks = plan_schedule(config)
-    lanes_local = max(1, lanes_total // lane_axis)
+    lanes_local = _split_lanes(config, lanes_total, lane_axis)
 
     nang = len(angles_deg)
     pad = (-nang) % frame_axis

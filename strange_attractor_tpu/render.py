@@ -532,6 +532,23 @@ def _canvas_body(
     return body
 
 
+def _auto_frames_per_batch(config: Config, strategy: BinStrategy) -> int:
+    """Frames per device program targeting ~2 GB of live canvases.
+
+    Bytes/px of the accumulation planes follow the *plane kind* (EXACT_KERNEL
+    carries EXACT's 12 B/px planes; keying on the raw strategy made
+    fidelity-mode batches overshoot ~1.25x and risk OOM), plus 8 B/px for
+    the colorized u16 RGBA frame.
+    """
+    npix = config.width * config.height
+    plane_bytes = {
+        BinStrategy.EXACT: 12,
+        BinStrategy.PACKED: 8,
+        BinStrategy.DEPTH: 4,
+    }[strategy.planes_kind()]
+    return max(1, int(2e9 / max(1, npix * (plane_bytes + 8))))
+
+
 def render_sequence_batched(
     config: Config,
     angles_deg,
@@ -561,9 +578,7 @@ def render_sequence_batched(
     fn = jax.jit(jax.vmap(one))
 
     if frames_per_batch is None:
-        npix = config.width * config.height
-        state_bytes = npix * (12 if strategy == BinStrategy.EXACT else 8) + npix * 8
-        frames_per_batch = max(1, int(2e9 / max(1, state_bytes)))
+        frames_per_batch = _auto_frames_per_batch(config, strategy)
 
     angles = np.asarray(list(angles_deg), np.float64)
     rad = np.radians(angles)

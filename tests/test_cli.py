@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from strange_attractor_tpu.cli import build_parser, config_from_args, main
+from strange_attractor_tpu.cli import _validate, build_parser, config_from_args, main
 from strange_attractor_tpu.config import BinStrategy, RenderKind
 
 FAST = [
@@ -15,7 +15,9 @@ FAST = [
 
 
 def test_defaults_match_reference():
-    args = build_parser().parse_args([])
+    parser = build_parser()
+    args = parser.parse_args([])
+    _validate(args, parser)
     assert args.iterations == 10_000_000
     assert args.width == 1920 and args.height == 1080
     assert args.scale is None and args.preset == "poisson-saturne"  # None = keep preset scale
@@ -23,6 +25,34 @@ def test_defaults_match_reference():
     assert args.brightness_offset == -0.15
     assert args.name == "attractor"
     assert not args.transparent and not args.eight_bit and not args.depth
+
+
+def test_jobs_per_thread_conflicts_with_single_device():
+    """-j and --single-device are mutually exclusive like the reference's
+    clap conflicts_with (main.rs:297-306); each alone is fine."""
+    with pytest.raises(SystemExit):
+        main(FAST + ["-j", "4", "--single-device"])
+    with pytest.raises(SystemExit):
+        main(FAST + ["-j", "0"])  # reference parses NonZeroUsize
+    parser = build_parser()
+    args = parser.parse_args(["-j", "4"])
+    _validate(args, parser)
+    assert args.jobs_per_thread == 4
+    args = parser.parse_args(["--single-device"])
+    _validate(args, parser)
+    assert args.jobs_per_thread == 12
+
+
+def test_coordinator_requires_process_topology():
+    """--coordinator without --num-processes/--process-id is a clean argparse
+    error, not a raw jax.distributed backend failure."""
+    for argv in (
+        ["--coordinator", "127.0.0.1:1234"],
+        ["--coordinator", "127.0.0.1:1234", "--num-processes", "2"],
+        ["--coordinator", "127.0.0.1:1234", "--process-id", "0"],
+    ):
+        with pytest.raises(SystemExit):
+            main(FAST + argv)
 
 
 def test_config_from_args():

@@ -54,30 +54,46 @@ else:
 '''
 
 
-def test_two_process_render(tmp_path):
+def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+        return s.getsockname()[1]
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), str(port)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            cwd="/root/repo",
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed worker timed out")
-        outs.append(out)
+
+def _run_workers(worker_src: str, extra_args, timeout: int = 600):
+    """Launch two coordinator+worker processes; retry the whole bring-up on
+    a port collision (the free-port probe closes the socket before the
+    coordinator rebinds it — a TOCTOU race under parallel test runs)."""
+    for _ in range(3):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", worker_src, str(i), str(port), *extra_args(i)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                cwd="/root/repo",
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("distributed worker timed out")
+            outs.append(out)
+        if any(p.returncode != 0 and "Address already in use" in out
+               for p, out in zip(procs, outs)):
+            continue  # lost the port race; bring the pair up on a fresh port
+        return procs, outs
+    pytest.fail("coordinator port collided on 3 consecutive bring-ups")
+
+
+def test_two_process_render(tmp_path):
+    procs, outs = _run_workers(_WORKER, lambda i: [])
 
     results = {}
     for i, (p, out) in enumerate(zip(procs, outs)):
@@ -117,28 +133,11 @@ print("RC", rc)
 def test_cli_distributed_two_processes(tmp_path):
     """`--coordinator` bring-up end-to-end: both processes render the
     collective program; only the primary writes the file."""
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
     outs = [tmp_path / "p0", tmp_path / "p1"]
     for d in outs:
         d.mkdir()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", _CLI_WORKER, str(i), str(port), str(outs[i])],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd="/root/repo",
-        )
-        for i in range(2)
-    ]
-    for i, p in enumerate(procs):
-        try:
-            out, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("CLI distributed worker timed out")
+    procs, worker_outs = _run_workers(_CLI_WORKER, lambda i: [str(outs[i])])
+    for i, (p, out) in enumerate(zip(procs, worker_outs)):
         assert p.returncode == 0 and "RC 0" in out, f"worker {i}:\n{out[-3000:]}"
 
     assert (outs[0] / "dist.png").exists(), "primary must write the image"

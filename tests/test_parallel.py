@@ -170,3 +170,39 @@ def test_render_parallel_single_device_path(monkeypatch):
                             jobs_per_thread=16)
     img_f = render_frame(cfg, key=jax.random.PRNGKey(1))
     np.testing.assert_array_equal(img_p, img_f)
+
+
+def test_auto_frames_per_batch_uses_planes_kind():
+    """EXACT_KERNEL carries EXACT's 12 B/px planes: its auto batch size must
+    match EXACT's and stay below PACKED/KERNEL's (round-2 verdict: the raw-
+    strategy key overshot fidelity-mode batches ~1.25x toward OOM)."""
+    from strange_attractor_tpu.render import _auto_frames_per_batch
+
+    cfg = presets.poisson_saturne(width=1920, height=1080)
+    sizes = {
+        s: _auto_frames_per_batch(cfg, s)
+        for s in (BinStrategy.EXACT, BinStrategy.EXACT_KERNEL, BinStrategy.KERNEL,
+                  BinStrategy.PACKED, BinStrategy.DEPTH, BinStrategy.DEPTH_KERNEL)
+    }
+    assert sizes[BinStrategy.EXACT_KERNEL] == sizes[BinStrategy.EXACT]
+    assert sizes[BinStrategy.KERNEL] == sizes[BinStrategy.PACKED]
+    assert sizes[BinStrategy.DEPTH_KERNEL] == sizes[BinStrategy.DEPTH]
+    assert sizes[BinStrategy.EXACT_KERNEL] < sizes[BinStrategy.KERNEL]
+    # 2 GB / (1920*1080 * (12+8) B) = 48 frames for the fidelity modes
+    assert sizes[BinStrategy.EXACT_KERNEL] == 48
+
+
+def test_sharded_lane_truncation_warns(cpu_devices):
+    """A hand-pinned lane count that does not divide the mesh drops budget;
+    the split must say so (round-2 verdict item 7). Auto-resolved lane
+    counts stay silent."""
+    import warnings
+    from strange_attractor_tpu.parallel.mesh import _split_lanes
+
+    cfg = presets.poisson_saturne(lanes=100)
+    with pytest.warns(UserWarning, match="does not divide"):
+        assert _split_lanes(cfg, 100, 8) == 12
+    cfg_auto = presets.poisson_saturne()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _split_lanes(cfg_auto, 1024, 8) == 128
