@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "to 1/4096 — pass 'exact-kernel' for full-f32 "
                         "reference-faithful accumulation via the same fast pipeline, "
                         "or 'exact' for the XLA scatter path (see BASELINE.md)")
+    p.add_argument("--kernel-window", dest="kernel_window", type=int, default=None,
+                   help="Canvas rows per apply window in the *_KERNEL binning "
+                        "strategies (default: per-strategy measured optimum; "
+                        "sweep per workload for large canvases)")
     p.add_argument("--seed", type=int, default=None, help="Deterministic RNG seed")
     p.add_argument("--reseed-lanes", dest="reseed_lanes", action="store_true",
                    help="Resurrect trajectory lanes whose orbit escaped to infinity "
@@ -236,6 +240,7 @@ def config_from_args(args):
         lanes=args.lanes,
         chunk_steps=args.chunk_steps,
         bin_strategy=BinStrategy(args.bin_strategy),
+        kernel_window=args.kernel_window,
         seed=args.seed,
         reseed_lanes=args.reseed_lanes,
     )

@@ -218,6 +218,11 @@ class Config:
     bin_strategy: BinStrategy = BinStrategy.AUTO
     # KERNEL strategy: points per sorted section (None = measured default)
     kernel_section: Optional[int] = None
+    # *_KERNEL strategies: canvas rows per apply window (None = the
+    # per-strategy measured default in ops/kernel_binning.py). Larger
+    # canvases can prefer a different window — sweep end-to-end per
+    # workload (docs/KERNEL_NOTES.md round-3)
+    kernel_window: Optional[int] = None
     dtype: str = "float32"
     seed: Optional[int] = None
     # Resurrect lanes whose orbit escaped to infinity (see
@@ -316,6 +321,7 @@ class Config:
             self.warmup,
             self.bin_strategy.value,
             self.resolved_kernel_section(),
+            self.kernel_window,
             self.dtype,
             self.reseed_lanes,
         ]

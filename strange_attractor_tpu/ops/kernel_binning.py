@@ -19,13 +19,20 @@ vectorized pipeline:
    row, one-hot matrices are built by comparing a sublane iota against
    lane-broadcast pixel rows, and a single stacked lane-contraction matmul
    ``dot_general(e_row, [e_col | byte planes...], ((1,), (1,)))`` yields
-   the window's count tile and the winners' byte planes at once.
-   Contributions accumulate in an f32 VMEM scratch tile and flush to the
-   delta canvas when the ``WINDOW_ROWS * 128``-pixel window changes
-   (sorted order visits windows monotonically), so canvas traffic is ~one
+   the window's count tile and the winners' byte planes at once. The dot
+   runs in **int8** (v5e's MXU has 2x int8 throughput vs bf16 and the
+   accumulation is exact integer arithmetic): winner bytes are stored
+   *biased by -128* so 0..255 fits the i8 operand range, and the flush
+   adds the bias back wherever its count tile is nonzero — winner
+   presence equals count > 0 because a pixel's whole per-section run
+   lands in one flush (window visits are monotone in sorted order).
+   Mosaic has no vector<i8> elementwise arithmetic, so operands are built
+   in i32 and truncated to i8 only at the dot. Contributions accumulate
+   in an int32 VMEM scratch tile and flush to the delta canvas when the
+   ``WINDOW_ROWS * 128``-pixel window changes, so canvas traffic is ~one
    sweep per section. Wide rows (K=1024 contraction) amortize per-row
    costs; small windows shrink the dot's M dimension — both tuned by
-   end-to-end ladders (docs/KERNEL_NOTES.md round-2).
+   end-to-end ladders (docs/KERNEL_NOTES.md round-2/3).
 3. **Delta merge (XLA)**: the kernel emits per-chunk *delta* planes
    (zeroed at grid step 0) folded into the persistent planes with an XLA
    add/max/z-test. Carrying the canvas through ``input_output_aliases``
@@ -125,13 +132,18 @@ def _winner_mask(f_ref, r, nrows, lane1, rl, *, first: bool):
     return f_row, mask
 
 
-def _u32_from_bytes(a, off, W):
-    """Recombine 4 accumulated byte planes (f32, each < 256) to uint32.
+def _u32_from_bytes(a, off, W, bias):
+    """Recombine 4 accumulated winner byte planes to uint32.
 
-    ``a`` is the (W * n_blocks, 128) scratch; payload bytes live in
-    W-row blocks starting at block ``off`` (block 0 = count).
+    ``a`` is the (W * n_blocks, 128) int32 scratch; payload bytes live in
+    W-row blocks starting at block ``off`` (block 0 = count). The kernel
+    accumulates winner bytes *biased by -128* so they fit the MXU's int8
+    operand range; ``bias`` is the add-back plane — 128 where this flush saw
+    a winner, 0 elsewhere. Winner-presence equals count > 0 because a
+    pixel's entire per-section point run lands in exactly one flush (sorted
+    window visits are monotone), and every run has its winner mark.
     """
-    bs = [a[W * (off + b): W * (off + b + 1), :].astype(jnp.int32).astype(jnp.uint32)
+    bs = [(a[W * (off + b): W * (off + b + 1), :] + bias).astype(jnp.uint32)
           for b in range(4)]
     return (bs[3] << 24) | (bs[2] << 16) | (bs[1] << 8) | bs[0]
 
@@ -172,41 +184,77 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
                 flush_fn(acc_ref, out_refs, cur, W)
                 acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
+        subf = lax.broadcasted_iota(jnp.int32, (W * n_blocks, LANES), 0)
+        lanef = lax.broadcasted_iota(jnp.int32, (W * n_blocks, LANES), 1)
+
         def row_body(r, cur):
             f_row, mask = _winner_mask(f_ref, r, nrows, lane1, rl, first=first)
             fi = f_row.astype(jnp.int32)
+            fmin = jnp.min(fi)
             crow = fi >> 7
             ccol = fi & 127
             wmin = jnp.min(crow) // W
             wmax = jnp.max(crow) // W
-            e_col = (sub == ccol).astype(jnp.bfloat16)
-            maskb = mask.astype(jnp.bfloat16)
-            svals = []  # (1, rl) per-point byte values, winner-masked
+            maski = mask.astype(jnp.int32)
+            svals = []  # (1, rl) per-point byte values -128, winner-masked
             for ref in payload_refs:
                 prow = ref[0, pl.ds(r, 1), :]
                 for b in range(4):
-                    vb = ((prow >> (8 * b)) & 255).astype(jnp.int32).astype(jnp.bfloat16)
-                    svals.append(vb * maskb)
+                    vb = ((prow >> (8 * b)) & 255).astype(jnp.int32) - 128
+                    svals.append(vb * maski)
 
-            def win_body(state):
-                w, cur = state
+            def general(cur):
+                # i32 build / i8 dot: Mosaic supports no vector<i8>
+                # arithmetic, so everything stays i32 until one trunc right
+                # before the MXU
+                e_col = (sub == ccol).astype(jnp.int32).astype(jnp.int8)
 
-                @pl.when(cur != w)
+                def win_body(state):
+                    w, cur = state
+
+                    @pl.when(cur != w)
+                    def _():
+                        flush(cur)
+
+                    e_row = (subw == (crow - w * W)).astype(jnp.int32)
+                    estack = jnp.concatenate(
+                        [e_row] + [e_row * s for s in svals], axis=0
+                    ).astype(jnp.int8)  # (n_blocks * W, rl)
+                    out = lax.dot_general(
+                        estack, e_col, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )  # (n_blocks * W, 128)
+                    acc_ref[:, :] += out
+                    return w + 1, w
+
+                _, cur = lax.while_loop(lambda s: s[0] <= wmax, win_body, (wmin, cur))
+                return cur
+
+            def uniform(cur):
+                # Whole row hits ONE pixel (solar-sail's escaped orbits
+                # flooding pixel (0,0), out-of-bounds sentinel rows, hot
+                # attractor pixels): skip the dot entirely. Count gains rl
+                # at the pixel; the winner mark can only sit at the row's
+                # boundary lane (interior lanes compare equal), so the
+                # winner-masked byte values reduce to their lane sum — zero
+                # when the run continues into the next row, in which case a
+                # later row of the same window contributes the mark.
+                w0 = wmin
+
+                @pl.when(cur != w0)
                 def _():
                     flush(cur)
 
-                e_row = (subw == (crow - w * W)).astype(jnp.bfloat16)
-                estack = jnp.concatenate(
-                    [e_row] + [e_row * s for s in svals], axis=0
-                )  # (n_blocks * W, rl)
-                out = lax.dot_general(
-                    estack, e_col, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (n_blocks * W, 128)
-                acc_ref[:, :] += out
-                return w + 1, w
+                onehot = ((subf % W == (fmin >> 7) - w0 * W)
+                          & (lanef == (fmin & 127))).astype(jnp.int32)
+                blockv = [jnp.int32(rl)] + [jnp.sum(s) for s in svals]
+                vals = jnp.concatenate(
+                    [jnp.full((W, LANES), v, jnp.int32) for v in blockv], axis=0
+                )
+                acc_ref[:, :] += onehot * vals
+                return w0
 
-            _, cur = lax.while_loop(lambda s: s[0] <= wmax, win_body, (wmin, cur))
+            cur = lax.cond(fmin == jnp.max(fi), uniform, general, cur)
             return cur
 
         cur = lax.fori_loop(0, nrows, row_body, jnp.int32(-1))
@@ -215,12 +263,19 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
     return kernel, n_blocks
 
 
+def _winner_bias(cnt, W):
+    """128 where this flush saw any point (hence exactly one winner mark),
+    0 elsewhere — the add-back for the i8 bias (see _u32_from_bytes)."""
+    return jnp.where(cnt > 0, jnp.int32(128), jnp.int32(0))
+
+
 def _flush_packed(acc_ref, out_refs, cur, W):
     cnt_ref, pk_ref = out_refs
     base = cur * W
     a = acc_ref[:, :]
-    cnt_ref[pl.ds(base, W), :] += a[:W, :].astype(jnp.int32).astype(jnp.uint32)
-    pk_new = _u32_from_bytes(a, 1, W)
+    cnt = a[:W, :]
+    cnt_ref[pl.ds(base, W), :] += cnt.astype(jnp.uint32)
+    pk_new = _u32_from_bytes(a, 1, W, _winner_bias(cnt, W))
     old = pk_ref[pl.ds(base, W), :]
     pk_ref[pl.ds(base, W), :] = jnp.where(old < pk_new, pk_new, old)
 
@@ -229,9 +284,11 @@ def _flush_exact(acc_ref, out_refs, cur, W):
     cnt_ref, zd_ref, vb_ref = out_refs
     base = cur * W
     a = acc_ref[:, :]
-    cnt_ref[pl.ds(base, W), :] += a[:W, :].astype(jnp.int32).astype(jnp.uint32)
-    zd_new = _u32_from_bytes(a, 1, W)  # descending-z key; 0 == no winner here
-    vb_new = _u32_from_bytes(a, 5, W)  # winner's f32 value bits
+    cnt = a[:W, :]
+    cnt_ref[pl.ds(base, W), :] += cnt.astype(jnp.uint32)
+    bias = _winner_bias(cnt, W)
+    zd_new = _u32_from_bytes(a, 1, W, bias)  # descending-z key; 0 == no winner
+    vb_new = _u32_from_bytes(a, 5, W, bias)  # winner's f32 value bits
     zd_old = zd_ref[pl.ds(base, W), :]
     # smaller nonzero key = greater z; strict < keeps the earlier section's
     # winner on exact z ties (the reference's z2 > zbuf, src/lib.rs:821)
@@ -239,6 +296,18 @@ def _flush_exact(acc_ref, out_refs, cur, W):
     zd_ref[pl.ds(base, W), :] = jnp.where(take, zd_new, zd_old)
     vb_old = vb_ref[pl.ds(base, W), :]
     vb_ref[pl.ds(base, W), :] = jnp.where(take, vb_new, vb_old)
+
+
+def _flush_depth(acc_ref, out_refs, cur, W):
+    """Depth-only flush: the count block still feeds the winner bias, but
+    no count delta plane is allocated or written — a depth render reads
+    nothing but the per-pixel max z (round-2 advisor finding)."""
+    (zm_ref,) = out_refs
+    base = cur * W
+    a = acc_ref[:, :]
+    zm_new = _u32_from_bytes(a, 1, W, _winner_bias(a[:W, :], W))
+    old = zm_ref[pl.ds(base, W), :]
+    zm_ref[pl.ds(base, W), :] = jnp.where(old < zm_new, zm_new, old)
 
 
 def _sections(npix, flat, payloads, section, pad_values, *, stable=True, w=WINDOW_ROWS):
@@ -283,7 +352,7 @@ def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out,
         out_specs=[
             pl.BlockSpec((alloc_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
         ] * n_out,
-        scratch_shapes=[pltpu.VMEM((w * n_blocks, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((w * n_blocks, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*sorted_arrays)
@@ -388,9 +457,9 @@ def bin_chunk_kernel_depth(zbuf, flat, z, *, npix: int,
     sorted_arrays, S, R_s, rl, alloc_rows = _sections(
         npix, flat, [zm], section, [jnp.uint32(0)], stable=False, w=window,
     )
-    _, dzm = _run_apply(
+    (dzm,) = _run_apply(
         sorted_arrays, S, R_s, rl, alloc_rows,
-        first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
+        first=False, flush_fn=_flush_depth, n_out=1, interpret=interpret,
         w=window,
     )
     zm_old = _mono_u32(zbuf)

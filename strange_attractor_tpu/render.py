@@ -182,9 +182,12 @@ def _bin_fn(config: Config, strategy: BinStrategy):
             BinStrategy.EXACT_KERNEL: kb.bin_chunk_kernel_exact,
             BinStrategy.DEPTH_KERNEL: kb.bin_chunk_kernel_depth,
         }[strategy]
+        kwargs = dict(npix=npix, section=section, interpret=interpret)
+        if config.kernel_window is not None:
+            kwargs["window"] = max(8, int(config.kernel_window))
 
         def bin_planes(planes, emitted):
-            return fn(*planes, *emitted, npix=npix, section=section, interpret=interpret)
+            return fn(*planes, *emitted, **kwargs)
 
         return bin_planes
     if strategy == BinStrategy.PACKED:
@@ -279,9 +282,18 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     return init, run
 
 
-def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> None:
+def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> RenderState:
     """Build every kernel variant a :func:`render` call will need, so timed
-    runs measure execution only (first TPU compile is tens of seconds)."""
+    runs measure execution only (first TPU compile is tens of seconds).
+
+    Returns the warm-up's final state. Downstream consumers (colorize /
+    export conversion) should be warmed WITH this state, not a state from a
+    differently-shaped render: the last warm dispatch is the same remainder
+    program a full render ends with, so the returned planes carry the same
+    device layout — warming with a different producer compiles the consumer
+    for another layout and the first real call silently re-JITs (~1.8 s on
+    the remote compile service; measured round 3).
+    """
     if strategy is None:
         strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes, chunk_steps, nchunks = plan_schedule(config)
@@ -299,6 +311,7 @@ def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> None:
     # DEPTH states carry only a zbuf plane (count is None)
     sync = state.count if state.count is not None else state.zbuf
     jax.device_get(sync.sum())
+    return state
 
 
 def render(

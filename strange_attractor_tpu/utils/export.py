@@ -37,12 +37,24 @@ def convert_format_device(image_u16, transparent: bool, eight_bit: bool):
     """jnp twin of :func:`convert_format`, run on device BEFORE the host
     fetch: a 1080p u16 RGBA frame is ~16.6 MB over the device link, the
     8-bit RGB equivalent 6.2 MB (bit-identical conversion semantics —
-    same round(v*255/65535) in uint32)."""
+    same round(v*255/65535) as the host path).
+
+    The division is strength-reduced by hand: TPU has no vector integer
+    divide (XLA lowers ``// 65535`` catastrophically — it cost ~1.7 s of a
+    1080p frame, measured round 3). For v in [0, 65535],
+    ``(v*255 + 32767) // 65535 == (v + 128) // 257`` (65535 = 255*257 and
+    the numerators can only differ in floor when 255*(v mod 257) lands in
+    [32768, 32895), i.e. v mod 257 in [128.5, 129) — impossible), and
+    ``x // 257 == (x * 65281) >> 24`` for x <= 65663 (65281*257 = 2^24 + 1,
+    so the quotient picks up an error term x/(257*2^24) < 1.6e-5 that can
+    never push frac(x/257) <= 256/257 past an integer). Both steps are
+    exact; test_export pins all 65536 values against the host path.
+    """
     import jax.numpy as jnp
 
     img = image_u16 if transparent else image_u16[..., :3]
     if eight_bit:
-        img = ((img.astype(jnp.uint32) * 255 + 32767) // 65535).astype(jnp.uint8)
+        img = (((img.astype(jnp.uint32) + 128) * 65281) >> 24).astype(jnp.uint8)
     return img
 
 

@@ -268,3 +268,18 @@ def test_convert_format_device_twin_and_idempotence():
             np.testing.assert_array_equal(host, dev)
             # idempotent: feeding the converted array back changes nothing
             np.testing.assert_array_equal(convert_format(dev, transparent, eight_bit), host)
+
+
+def test_convert_device_multiply_shift_exact_all_values():
+    """The device path's strength-reduced ((v+128)*65281)>>24 must equal the
+    host's (v*255+32767)//65535 for EVERY uint16 value (see the proof in
+    convert_format_device's docstring)."""
+    import jax.numpy as jnp
+
+    from strange_attractor_tpu.utils.export import convert_format, convert_format_device
+
+    allv = np.arange(65536, dtype=np.uint16).reshape(256, 256, 1)
+    img = np.repeat(allv, 3, axis=2).astype(np.uint16)
+    host = convert_format(img, transparent=False, eight_bit=True)
+    dev = np.asarray(convert_format_device(jnp.asarray(img), False, True))
+    np.testing.assert_array_equal(host, dev)

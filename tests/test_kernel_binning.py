@@ -346,3 +346,58 @@ def test_window_parameterization_exact(window):
     )
     np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
+def test_kernel_uniform_rows_fast_path():
+    """Rows where every point hits ONE pixel take the no-dot fast path
+    (round-3): floods spanning many whole rows, with the run's winner mark
+    landing in a later row, must stay bit-exact — including when the flood
+    pixel's window differs from its neighbors'."""
+    npix = 320 * 180
+    rng = np.random.default_rng(7)
+    # section 512 / ROW_LANES 1024 -> rl = 512: build floods of several
+    # whole rows with ragged edges so uniform and general rows interleave
+    parts = [
+        np.full(1400, 7, np.int32),            # flood pixel 7 (~3 rows)
+        np.full(900, 4096 + 13, np.int32),     # flood in another window
+        rng.integers(0, npix, 700).astype(np.int32),  # general filler
+        np.full(300, npix, np.int32),          # out-of-bounds sentinel run
+        np.full(796, 7, np.int32),             # second flood of pixel 7
+    ]
+    flat = np.concatenate(parts)
+    packed = rng.integers(0, 2**32, flat.size, dtype=np.uint64).astype(np.uint32)
+    cnt, pk = _run_kernel(npix, flat, packed, section=1 << 9)
+    want_c, want_p = _reference(npix, flat, packed)
+    np.testing.assert_array_equal(np.asarray(cnt), want_c)
+    np.testing.assert_array_equal(np.asarray(pk), want_p)
+
+
+def test_exact_kernel_uniform_rows_fast_path():
+    """Same flood shapes through EXACT_KERNEL (first=True winner marks at
+    the run's FIRST lane): z ties inside a flood must still resolve to the
+    earliest-emitted value."""
+    npix = 320 * 180
+    rng = np.random.default_rng(8)
+    parts = [
+        np.full(1400, 7, np.int32),
+        np.full(900, 4096 + 13, np.int32),
+        rng.integers(0, npix, 700).astype(np.int32),
+        np.full(300, npix, np.int32),
+        np.full(796, 7, np.int32),
+    ]
+    flat = np.concatenate(parts)
+    n = flat.size
+    z = np.round(rng.normal(0, 0.5, n) * 8).astype(np.float32) / 8  # coarse: ties
+    val = rng.random(n).astype(np.float32)
+    cnt, steps, zbuf = _run_exact(npix, flat, z, val, section=1 << 9)
+    ec = np.zeros(npix + 1, np.uint64)
+    es = np.zeros(npix + 1, np.float32)
+    ez = np.full(npix + 1, -1.0, np.float32)
+    for f, zz, vv in zip(flat, z, val):
+        ec[f] += 1
+        if zz > ez[f]:
+            ez[f] = zz
+            es[f] = vv
+    np.testing.assert_array_equal(np.asarray(cnt), ec[:npix].astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(zbuf), ez[:npix])
+    np.testing.assert_array_equal(np.asarray(steps), es[:npix])

@@ -8,6 +8,9 @@ trusting a bench number after kernel changes:
     python tools/check_kernels.py [n_points] [section_log2]
 
 Exits non-zero on any exactness mismatch vs a sequential numpy reference.
+``certify_kernels`` is the importable core: bench.py runs it before every
+timed run so each recorded BENCH_r*.json certifies the compiled Mosaic path
+is still bit-exact (round-2 verdict item 5).
 """
 
 import sys
@@ -20,6 +23,89 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def certify_kernels(n: int = 1 << 20, seclog: int = 17, npix: int = 1920 * 1080,
+                    interpret: bool = False, seed: int = 0, log=print) -> None:
+    """Assert KERNEL / EXACT_KERNEL / DEPTH_KERNEL match a sequential numpy
+    reference bit-for-bit on ``n`` random points (2% out-of-bounds, z ties
+    injected). Raises AssertionError on any mismatch."""
+    from strange_attractor_tpu.ops import kernel_binning as kb
+
+    rng = np.random.default_rng(seed)
+    flat = rng.integers(0, npix, n).astype(np.int32)
+    flat[rng.random(n) < 0.02] = npix  # out-of-bounds convention
+    packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+
+    cnt = jnp.zeros((npix,), jnp.uint32)
+    pk = jnp.zeros((npix,), jnp.uint32)
+    t0 = time.perf_counter()
+    cnt, pk = kb.bin_chunk_kernel(
+        cnt, pk, jnp.asarray(flat), jnp.asarray(packed),
+        npix=npix, section=1 << seclog, interpret=interpret,
+    )
+    got_c = np.asarray(cnt)[:npix]
+    got_p = np.asarray(pk)[:npix]
+    log(f"compile+run: {time.perf_counter() - t0:.1f}s")
+
+    want_c = np.zeros(npix + 1, np.uint64)
+    want_p = np.zeros(npix + 1, np.uint32)
+    for f, p in zip(flat, packed):
+        want_c[f] += 1
+        want_p[f] = max(want_p[f], p)
+    ok_c = (got_c == want_c[:npix].astype(np.uint32)).all()
+    ok_p = (got_p == want_p[:npix]).all()
+    log(f"count exact: {ok_c}  packed exact: {ok_p}")
+    if not (ok_c and ok_p):
+        bad = np.nonzero(got_p != want_p[:npix])[0][:5]
+        log(f"first packed mismatches: {bad} {got_p[bad]} {want_p[bad]}")
+        raise AssertionError("KERNEL mismatch vs sequential reference")
+
+    # EXACT_KERNEL: full-f32 planes + strict z-test with earliest-wins ties
+    z = rng.normal(0, 0.5, n).astype(np.float32)
+    z[rng.random(n) < 0.02] = -2.0  # below sentinel: counted, never wins
+    # quantize z so exact ties occur and exercise the stable-order path
+    z = np.round(z * 64) / 64
+    val = rng.random(n).astype(np.float32)
+    cnt_e = jnp.zeros((npix,), jnp.uint32)
+    st_e = jnp.zeros((npix,), jnp.float32)
+    zb_e = jnp.full((npix,), -1.0, jnp.float32)
+    t0 = time.perf_counter()
+    cnt_e, st_e, zb_e = kb.bin_chunk_kernel_exact(
+        cnt_e, st_e, zb_e, jnp.asarray(flat), jnp.asarray(z), jnp.asarray(val),
+        npix=npix, section=1 << seclog, interpret=interpret,
+    )
+    log(f"exact compile+run: {time.perf_counter() - t0:.1f}s")
+    ec = np.zeros(npix + 1, np.uint64)
+    es = np.zeros(npix + 1, np.float32)
+    ez = np.full(npix + 1, -1.0, np.float32)
+    for f, zz, vv in zip(flat, z, val):
+        ec[f] += 1
+        if zz > ez[f]:
+            ez[f] = zz
+            es[f] = vv
+    ok_ec = (np.asarray(cnt_e) == ec[:npix].astype(np.uint32)).all()
+    ok_ez = (np.asarray(zb_e) == ez[:npix]).all()
+    ok_es = (np.asarray(st_e) == es[:npix]).all()
+    log(f"exact: count {ok_ec}  zbuf {ok_ez}  steps {ok_es}")
+    if not (ok_ec and ok_ez and ok_es):
+        bad = np.nonzero(np.asarray(st_e) != es[:npix])[0][:5]
+        log(f"steps mismatches: {bad} {np.asarray(st_e)[bad]} {es[bad]}")
+        raise AssertionError("EXACT_KERNEL mismatch vs sequential reference")
+
+    # DEPTH_KERNEL: per-pixel max z through the same machinery
+    zb_d = jnp.full((npix,), -1.0, jnp.float32)
+    (zb_d,) = kb.bin_chunk_kernel_depth(
+        zb_d, jnp.asarray(flat), jnp.asarray(z),
+        npix=npix, section=1 << seclog, interpret=interpret,
+    )
+    dz = np.full(npix + 1, -1.0, np.float32)
+    for f, zz in zip(flat, z):
+        dz[f] = max(dz[f], zz)
+    ok_d = (np.asarray(zb_d) == dz[:npix]).all()
+    log(f"depth: zbuf {ok_d}")
+    if not ok_d:
+        raise AssertionError("DEPTH_KERNEL mismatch vs sequential reference")
 
 
 def main() -> int:
@@ -36,84 +122,26 @@ def main() -> int:
         print("WARNING: no TPU visible — running in interpreter mode")
         n = min(n, 1 << 13)
 
-    rng = np.random.default_rng(0)
-    flat = rng.integers(0, npix, n).astype(np.int32)
-    flat[rng.random(n) < 0.02] = npix  # out-of-bounds convention
-    packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
-
-    cnt = jnp.zeros((npix,), jnp.uint32)
-    pk = jnp.zeros((npix,), jnp.uint32)
-    t0 = time.perf_counter()
-    cnt, pk = kb.bin_chunk_kernel(
-        cnt, pk, jnp.asarray(flat), jnp.asarray(packed),
-        npix=npix, section=1 << seclog, interpret=interpret,
-    )
-    got_c = np.asarray(cnt)[:npix]
-    got_p = np.asarray(pk)[:npix]
-    print(f"compile+run: {time.perf_counter() - t0:.1f}s")
-
-    want_c = np.zeros(npix + 1, np.uint64)
-    want_p = np.zeros(npix + 1, np.uint32)
-    for f, p in zip(flat, packed):
-        want_c[f] += 1
-        want_p[f] = max(want_p[f], p)
-    ok_c = (got_c == want_c[:npix].astype(np.uint32)).all()
-    ok_p = (got_p == want_p[:npix]).all()
-    print(f"count exact: {ok_c}  packed exact: {ok_p}")
-    if not (ok_c and ok_p):
-        bad = np.nonzero(got_p != want_p[:npix])[0][:5]
-        print("first packed mismatches:", bad, got_p[bad], want_p[bad])
-        return 1
-
-    # EXACT_KERNEL: full-f32 planes + strict z-test with earliest-wins ties
-    z = rng.normal(0, 0.5, n).astype(np.float32)
-    z[rng.random(n) < 0.02] = -2.0  # below sentinel: counted, never wins
-    # quantize z so exact ties occur and exercise the stable-order path
-    z = np.round(z * 64) / 64
-    val = rng.random(n).astype(np.float32)
-    cnt_e = jnp.zeros((npix,), jnp.uint32)
-    st_e = jnp.zeros((npix,), jnp.float32)
-    zb_e = jnp.full((npix,), -1.0, jnp.float32)
-    t0 = time.perf_counter()
-    cnt_e, st_e, zb_e = kb.bin_chunk_kernel_exact(
-        cnt_e, st_e, zb_e, jnp.asarray(flat), jnp.asarray(z), jnp.asarray(val),
-        npix=npix, section=1 << seclog, interpret=interpret,
-    )
-    print(f"exact compile+run: {time.perf_counter() - t0:.1f}s")
-    ec = np.zeros(npix + 1, np.uint64)
-    es = np.zeros(npix + 1, np.float32)
-    ez = np.full(npix + 1, -1.0, np.float32)
-    for f, zz, vv in zip(flat, z, val):
-        ec[f] += 1
-        if zz > ez[f]:
-            ez[f] = zz
-            es[f] = vv
-    ok_ec = (np.asarray(cnt_e) == ec[:npix].astype(np.uint32)).all()
-    ok_ez = (np.asarray(zb_e) == ez[:npix]).all()
-    ok_es = (np.asarray(st_e) == es[:npix]).all()
-    print(f"exact: count {ok_ec}  zbuf {ok_ez}  steps {ok_es}")
-    if not (ok_ec and ok_ez and ok_es):
-        bad = np.nonzero(np.asarray(st_e) != es[:npix])[0][:5]
-        print("steps mismatches:", bad, np.asarray(st_e)[bad], es[bad])
-        return 1
-
-    # DEPTH_KERNEL: per-pixel max z through the same machinery
-    zb_d = jnp.full((npix,), -1.0, jnp.float32)
-    (zb_d,) = kb.bin_chunk_kernel_depth(
-        zb_d, jnp.asarray(flat), jnp.asarray(z),
-        npix=npix, section=1 << seclog, interpret=interpret,
-    )
-    dz = np.full(npix + 1, -1.0, np.float32)
-    for f, zz in zip(flat, z):
-        dz[f] = max(dz[f], zz)
-    ok_d = (np.asarray(zb_d) == dz[:npix]).all()
-    print(f"depth: zbuf {ok_d}")
-    if not ok_d:
+    try:
+        certify_kernels(n, seclog, npix, interpret)
+    except AssertionError as e:
+        print(f"FAIL: {e}")
         return 1
 
     if not interpret:
-        # throughput: in-jit repetition buries the ~4ms dispatch latency
+        # throughput: in-jit repetition buries the ~4ms dispatch latency.
+        # Same streams as the certification (seed 0).
+        rng = np.random.default_rng(0)
+        flat = rng.integers(0, npix, n).astype(np.int32)
+        flat[rng.random(n) < 0.02] = npix
+        packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        z = rng.normal(0, 0.5, n).astype(np.float32)
+        z[rng.random(n) < 0.02] = -2.0
+        z = np.round(z * 64) / 64
+        val = rng.random(n).astype(np.float32)
         fj, pj = jnp.asarray(flat), jnp.asarray(packed)
+        cnt = jnp.zeros((npix,), jnp.uint32)
+        pk = jnp.zeros((npix,), jnp.uint32)
 
         @jax.jit
         def pipe(cnt, pk):
@@ -136,6 +164,9 @@ def main() -> int:
         print(f"sort+apply: {ns:.2f} ns/pt ({1e3 / ns:.0f}M pts/s) at section 2^{seclog}")
 
         zj, vj = jnp.asarray(z), jnp.asarray(val)
+        cnt_e = jnp.zeros((npix,), jnp.uint32)
+        st_e = jnp.zeros((npix,), jnp.float32)
+        zb_e = jnp.full((npix,), -1.0, jnp.float32)
 
         @jax.jit
         def pipe_exact(cnt, st, zb):
