@@ -42,7 +42,7 @@ def main() -> None:
     from strange_attractor_tpu import colorize, presets, render
     from strange_attractor_tpu.config import BrightnessConstants, Colors
     from strange_attractor_tpu.render import plan_schedule, precompile
-    from strange_attractor_tpu.utils.export import convert_format_device
+    from strange_attractor_tpu.utils.export import convert_format_device, fetch_image
     from strange_attractor_tpu.utils.profiling import RenderProfile, enable_compilation_cache, hard_sync
 
     # persistent XLA cache: kernel-iteration rounds recompile nothing
@@ -96,8 +96,21 @@ def main() -> None:
     # consumers compile for the right device layout (a mismatched layout
     # re-JITs silently on the first timed call — see precompile docstring)
     state = precompile(cfg)
-    np.asarray(jax.device_get(colorize8(state)))
-    np.asarray(jax.device_get(colorize16(state)))
+    # Warm EVERY program the timed loop will execute, with the same input
+    # layouts: on this platform the FIRST execute of each program in a
+    # process pays the remote compile service (seconds), regardless of the
+    # persistent cache — an unwarmed helper (even hard_sync's scalar-fetch
+    # reshape) silently lands its cost in whichever phase runs it first.
+    float(state.count.sum())
+    warm8 = colorize8(state)
+    hard_sync(warm8)
+    # the timed fetch goes through the u32-bitcast fast path (~2.7x the
+    # narrow-dtype transfer rate); assert it is byte-identical to the
+    # direct fetch once, then warm both colorize programs
+    np.testing.assert_array_equal(fetch_image(warm8), np.asarray(jax.device_get(warm8)))
+    warm16 = colorize16(state)
+    hard_sync(warm16)
+    fetch_image(warm16)
 
     # timed: fresh state -> render -> colorize -> device-side 8-bit convert
     # -> host fetch. Best of two runs: the tunneled dev platform adds +/-2%
@@ -114,7 +127,7 @@ def main() -> None:
             img8 = colorize8(state)
             hard_sync(img8)
         with prof.phase("fetch"):
-            img8_host = np.asarray(jax.device_get(img8))
+            img8_host = fetch_image(img8)
         rates.append(prof.iters_per_sec)
         if best is None or prof.iters_per_sec > best.iters_per_sec:
             best = prof
@@ -126,7 +139,7 @@ def main() -> None:
     # (the fetch is 12.4 MB instead of 5.9 MB over the tunnel)
     t0 = time.perf_counter()
     img16 = colorize16(state)
-    img16_host = np.asarray(jax.device_get(img16))
+    img16_host = fetch_image(img16)
     tail16 = time.perf_counter() - t0
     assert img16_host.shape == (1080, 1920, 3) and img16_host.dtype == np.uint16
 

@@ -453,15 +453,14 @@ def _render_stateful(args, config, render_mod, state):
                             silent=True)
 
         state = render_mod.render(config, state, on_progress=on_progress)
-    # convert on device before fetching: 2.7x fewer bytes over the device
-    # link for the default 8-bit-opaque case (utils/export docstring)
-    from .utils.export import convert_format_device
+    # convert on device before fetching (2.7x fewer bytes over the device
+    # link for the default 8-bit-opaque case) and fetch through the
+    # u32-bitcast fast path (another ~2.7x on narrow dtypes)
+    from .utils.export import convert_format_device, fetch_image
 
-    image = np.asarray(
-        jax.device_get(
-            convert_format_device(
-                render_mod.colorize(config, state), args.transparent, args.eight_bit
-            )
+    image = fetch_image(
+        convert_format_device(
+            render_mod.colorize(config, state), args.transparent, args.eight_bit
         )
     )
     return image, state

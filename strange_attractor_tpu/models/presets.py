@@ -14,7 +14,16 @@ from ..ops.projection import EulerAxisRotation
 from .attractors import Halvorsen, Lorenz, PolynomialSprott2Degree, Rossler
 from .transforms import AdjustedVelocity, poisson_saturne_transform
 
-PRESET_NAMES = ("poisson-saturne", "solar-sail", "lorenz", "rossler", "halvorsen")
+PRESET_NAMES = (
+    "poisson-saturne",
+    "solar-sail",
+    "lorenz",
+    "rossler",
+    "halvorsen",
+    "aurora-veil",
+    "orchid-ribbon",
+    "delta-kite",
+)
 
 
 def poisson_saturne(**overrides) -> Config:
@@ -180,16 +189,102 @@ def halvorsen(**overrides) -> Config:
     )
 
 
+# ---- discovered second-degree Sprott maps -------------------------------
+#
+# The reference's extension story is "implement the Attractor trait with
+# your own coefficients" (src/lib.rs:562-564). These three presets exercise
+# exactly that surface: second-degree Sprott maps over the reference's
+# monomial rows (src/lib.rs:577-599), found with Sprott's published random
+# search (coefficients on his 0.1 grid in [-1.2, 1.2]; keep bounded orbits
+# with positive largest Lyapunov exponent) — reproducible via
+# ``python tools/find_attractors.py 4000 1``. Cameras were auto-framed
+# from the rotated orbit's bounding box (the cc.x/cc.y/cc.z pairing quirk
+# applies: cc.y is the DEPTH offset, cc.z the screen-y offset).
+
+# unit axis baked in explicitly (= normalize((0.35, 0.8, 0.49))) so the
+# exact view is expressible through --rotation-axis, whose release-build
+# semantics never normalize
+_DISCOVERY_TILT = EulerAxisRotation(
+    axis=(0.34954588533198816, 0.7989620236159731, 0.48936423946478347),
+    rotation=1.1,
+)
+
+
+def aurora_veil(**overrides) -> Config:
+    """Dense folded curtain (search hit seed=1/index=515, LLE ~0.14)."""
+    attractor = PolynomialSprott2Degree(
+        x=(0.4, -0.8, 0.6, 0.7, 0.8, 0.6, -0.8, 1.0, -0.2, -1.2),
+        y=(0.9, 0.3, 0.8, 0.0, 0.2, -0.5, -0.1, 0.6, -0.5, 0.1),
+        z=(0.8, -0.7, -1.0, 0.2, -0.3, 0.5, -1.2, 1.1, -0.5, -0.3),
+    )
+    view = View(
+        center_camera=(-0.14371, -0.23678, -0.72624),
+        rotation=_DISCOVERY_TILT,
+        scale=0.757,
+    )
+    return Config(
+        attractor=attractor,
+        view=view,
+        color_transform=AdjustedVelocity(offset=-0.05, factor=1.5),
+        **overrides,
+    )
+
+
+def orchid_ribbon(**overrides) -> Config:
+    """Looping ribbon bundle (search hit seed=1/index=1278, LLE ~0.11)."""
+    attractor = PolynomialSprott2Degree(
+        x=(-0.2, -0.5, -0.9, -0.5, 0.3, 0.4, -1.2, 1.1, 0.1, 0.4),
+        y=(0.4, 1.1, 1.2, 0.7, 1.0, -0.6, -0.1, 0.2, 0.4, -0.4),
+        z=(0.4, 0.9, -0.3, -0.6, 0.1, -0.6, -0.4, -1.1, 0.7, 0.3),
+    )
+    view = View(
+        center_camera=(0.32924, -0.04543, 0.15375),
+        rotation=_DISCOVERY_TILT,
+        scale=0.5046,
+    )
+    return Config(
+        attractor=attractor,
+        view=view,
+        color_transform=AdjustedVelocity(offset=-0.05, factor=1.5),
+        **overrides,
+    )
+
+
+def delta_kite(**overrides) -> Config:
+    """Swept triangular sheet (search hit seed=1/index=2999, LLE ~0.08)."""
+    attractor = PolynomialSprott2Degree(
+        x=(0.0, -0.7, -1.0, -1.2, 0.5, -1.1, -0.1, 0.2, 0.0, 1.1),
+        y=(-0.4, 0.7, 1.1, -1.1, 0.4, 0.4, 0.4, -0.1, -0.1, -0.2),
+        z=(-0.1, -0.9, -0.9, -0.2, -1.0, -0.5, -0.9, 0.5, 0.1, 0.7),
+    )
+    view = View(
+        center_camera=(0.11734, 0.21605, -0.06813),
+        rotation=_DISCOVERY_TILT,
+        scale=0.7519,
+    )
+    return Config(
+        attractor=attractor,
+        view=view,
+        color_transform=AdjustedVelocity(offset=-0.05, factor=1.5),
+        **overrides,
+    )
+
+
+_BY_NAME = {
+    "poisson-saturne": poisson_saturne,
+    "solar-sail": solar_sail,
+    "lorenz": lorenz,
+    "rossler": rossler,
+    "halvorsen": halvorsen,
+    "aurora-veil": aurora_veil,
+    "orchid-ribbon": orchid_ribbon,
+    "delta-kite": delta_kite,
+}
+
+
 def by_name(name: str, **overrides) -> Config:
     """Look up a preset by CLI name (reference: src/bin/main.rs:400-408)."""
-    if name == "poisson-saturne":
-        return poisson_saturne(**overrides)
-    if name == "solar-sail":
-        return solar_sail(**overrides)
-    if name == "lorenz":
-        return lorenz(**overrides)
-    if name == "rossler":
-        return rossler(**overrides)
-    if name == "halvorsen":
-        return halvorsen(**overrides)
-    raise KeyError(f"unknown preset {name!r}; choose from {PRESET_NAMES}")
+    fn = _BY_NAME.get(name)
+    if fn is None:
+        raise KeyError(f"unknown preset {name!r}; choose from {PRESET_NAMES}")
+    return fn(**overrides)

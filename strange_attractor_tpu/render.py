@@ -183,8 +183,17 @@ def _bin_fn(config: Config, strategy: BinStrategy):
             BinStrategy.DEPTH_KERNEL: kb.bin_chunk_kernel_depth,
         }[strategy]
         kwargs = dict(npix=npix, section=section, interpret=interpret)
-        if config.kernel_window is not None:
-            kwargs["window"] = max(8, int(config.kernel_window))
+        window = config.kernel_window
+        if (window is None
+                and strategy in (BinStrategy.KERNEL, BinStrategy.DEPTH_KERNEL)
+                and npix > 3_000_000):
+            # large canvases spread each section over more windows; a wider
+            # flush window costs more MACs/visit but ~halves the visits.
+            # Solar-sail 1800x2000 @ 1e9 measured: W=16 458M, 32 491M,
+            # 64 498M iters/s (docs/KERNEL_NOTES.md round-3)
+            window = 64
+        if window is not None:
+            kwargs["window"] = max(8, int(window))
 
         def bin_planes(planes, emitted):
             return fn(*planes, *emitted, **kwargs)

@@ -58,6 +58,33 @@ def convert_format_device(image_u16, transparent: bool, eight_bit: bool):
     return img
 
 
+def fetch_image(img) -> np.ndarray:
+    """``device_get`` an image via a uint32 bitcast.
+
+    On the tunneled dev platform (and generally for TPU's tiled narrow-type
+    layouts), fetching u8/u16 device arrays runs ~2.7x slower than fetching
+    the SAME bytes as u32 (measured round 3: 5.9 MB u8 frame 397 ms vs
+    149 ms as u32) — the narrow layouts pay a device-side relayout. Pack
+    trailing bytes into u32 lanes on device, fetch, and reinterpret on the
+    host. Bit-exact: XLA's bitcast_convert_type composes minor-most bytes
+    little-endian, matching the host view on every supported platform
+    (asserted against the direct fetch in tests).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    img = jnp.asarray(img)
+    itemsize = img.dtype.itemsize
+    per = 4 // itemsize
+    n = int(np.prod(img.shape))
+    if itemsize >= 4 or n * itemsize % 4:
+        return np.asarray(jax.device_get(img))
+    packed = lax.bitcast_convert_type(img.reshape(-1, per), jnp.uint32)
+    host = np.ascontiguousarray(np.asarray(jax.device_get(packed)))
+    return host.view(img.dtype).reshape(img.shape)
+
+
 # ---------------------------------------------------------------- PNG ----
 
 

@@ -152,3 +152,69 @@ def test_rk4_step_xyz_matches_stacked(cls_name):
     )
     np.testing.assert_array_equal(stacked, xyz)
     np.testing.assert_allclose(stacked, a.step_numpy(p), rtol=2e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["aurora-veil", "orchid-ribbon", "delta-kite"])
+def test_discovered_sprott_presets_chaotic_and_framed(name):
+    """The discovered second-degree Sprott presets (tools/find_attractors.py
+    seed=1 hits): bounded chaotic orbit, positive largest Lyapunov exponent,
+    and the auto-framed camera keeps the attractor in the interior."""
+    import jax
+    from strange_attractor_tpu import colorize, render
+
+    cfg = presets.by_name(name)
+    # bounded + chaotic (nearby-orbit renormalization, Sprott's procedure)
+    p = np.array([0.05, 0.05, 0.05], np.float64)
+    for _ in range(1000):
+        p = cfg.attractor.step_numpy(p)
+    d0 = 1e-8
+    q = p + np.array([d0, 0.0, 0.0])
+    lsum = 0.0
+    for _ in range(4000):
+        p = cfg.attractor.step_numpy(p)
+        q = cfg.attractor.step_numpy(q)
+        assert np.all(np.isfinite(p)) and np.abs(p).max() < 10.0
+        d = np.linalg.norm(q - p)
+        lsum += np.log(d / d0)
+        q = p + (q - p) * (d0 / d)
+    assert lsum / 4000 > 0.02  # positive LLE: chaos, not a limit cycle
+
+    cfg = presets.by_name(name, iterations=200_000, width=96, height=54,
+                          seed=3, lanes=128)
+    st = render(cfg)
+    c = np.asarray(st.count)
+    assert c.sum() > 150_000  # most points land in frame
+    assert c[:2, :].sum() + c[-2:, :].sum() < 0.08 * c.sum()
+    assert c[:, :2].sum() + c[:, -2:].sum() < 0.08 * c.sum()
+    img = np.asarray(jax.device_get(colorize(cfg, st)))
+    assert img[..., :3].max() > 0
+
+
+def test_discovered_presets_reachable_via_cli_coeffs():
+    """The same coefficients through --coeffs-x/y/z + --camera +
+    --rotation-axis produce the identical config fingerprint — the presets
+    are exactly the reference's extension mechanism, not a parallel path."""
+    from strange_attractor_tpu.cli import build_parser, config_from_args
+
+    want = presets.by_name("delta-kite")
+    a = want.attractor
+    rot = want.view.rotation
+    argv = ["-p", "solar-sail"]  # any base; every relevant field overridden
+    for flag, row in (("--coeffs-x", a.x), ("--coeffs-y", a.y), ("--coeffs-z", a.z)):
+        argv += [flag] + [str(v) for v in row]
+    argv += ["--camera"] + [str(v) for v in want.view.center_camera]
+    argv += ["--rotation-axis"] + [str(v) for v in rot.axis] + [str(rot.rotation)]
+    argv += ["-s", str(want.view.scale), "-i", str(want.iterations)]
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    assert cfg.attractor.x == a.x and cfg.attractor.y == a.y and cfg.attractor.z == a.z
+    assert cfg.view.center_camera == want.view.center_camera
+    assert cfg.view.scale == want.view.scale
+    assert cfg.view.rotation.axis == rot.axis
+    assert cfg.view.rotation.rotation == rot.rotation
+    # identical rotation SEMANTICS too: the preset must not rely on
+    # normalize=True, which --rotation-axis cannot express
+    assert cfg.view.rotation.normalize == rot.normalize is False
+    np.testing.assert_array_equal(
+        cfg.view.rotation.to_rotation_matrix(), rot.to_rotation_matrix()
+    )

@@ -283,3 +283,19 @@ def test_convert_device_multiply_shift_exact_all_values():
     host = convert_format(img, transparent=False, eight_bit=True)
     dev = np.asarray(convert_format_device(jnp.asarray(img), False, True))
     np.testing.assert_array_equal(host, dev)
+
+
+def test_fetch_image_bitcast_roundtrip():
+    """fetch_image's u32-bitcast fast path must be byte-identical to the
+    direct device_get for u8 and u16 images (and fall back cleanly for
+    shapes whose byte count is not a multiple of 4)."""
+    import jax.numpy as jnp
+
+    from strange_attractor_tpu.utils.export import fetch_image
+
+    rng = np.random.default_rng(11)
+    u8 = rng.integers(0, 256, (27, 48, 4), np.uint8)       # divisible by 4
+    u16 = rng.integers(0, 65536, (27, 48, 4), np.uint16)
+    odd = rng.integers(0, 256, (5, 5, 3), np.uint8)        # 75 bytes: fallback
+    for arr in (u8, u16, odd):
+        np.testing.assert_array_equal(fetch_image(jnp.asarray(arr)), arr)
