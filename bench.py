@@ -112,9 +112,16 @@ def main() -> None:
     hard_sync(warm16)
     fetch_image(warm16)
 
-    # timed: fresh state -> render -> colorize -> device-side 8-bit convert
-    # -> host fetch. Best of two runs: the tunneled dev platform adds +/-2%
-    # run-to-run noise; both raw rates are reported in the JSON.
+    # timed, two instruments x two runs each:
+    # - "phases": explicit sync between render / colorize / fetch, giving
+    #   the per-phase split and the iters/s metric (render phase only);
+    # - "wall_s": the same pipeline with NO intermediate syncs — colorize
+    #   and the format convert enqueue behind the render and the final
+    #   host fetch drains the queue — i.e. what a user actually waits for
+    #   a frame. wall_s <= sum(phases): the sync round-trips (~60 ms on
+    #   the tunnel) exist only to attribute time, so they are not charged
+    #   to the deliverable.
+    # Best of two runs each: the tunneled dev platform adds +/-2% noise.
     rates = []
     best = None
     for attempt in range(2):
@@ -131,6 +138,14 @@ def main() -> None:
         rates.append(prof.iters_per_sec)
         if best is None or prof.iters_per_sec > best.iters_per_sec:
             best = prof
+
+    wall = None
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        state = render(cfg, key=jax.random.PRNGKey(0))
+        img8_host = fetch_image(colorize8(state))
+        run_wall = time.perf_counter() - t0
+        wall = run_wall if wall is None else min(wall, run_wall)
 
     assert img8_host.shape == (1080, 1920, 3) and img8_host.dtype == np.uint8
     assert img8_host.max() > 0
@@ -152,10 +167,11 @@ def main() -> None:
                 "unit": "iters/s",
                 "vs_baseline": round(rate / BASELINE_ITERS_PER_SEC, 4),
                 "runs": [round(r, 1) for r in rates],
-                "wall_s": round(best.total_seconds, 3),
+                "wall_s": round(wall, 3),
                 "phases": {k: round(v, 3) for k, v in best.phases.items()},
+                "phases_sum_s": round(best.total_seconds, 3),
                 "deliverable": "8-bit RGB frame on host (reference --8-bit path)",
-                "wall_16bit_rgb_s": round(best.phases["render"] + best.phases["colorize"] + tail16, 3),
+                "wall_16bit_rgb_s": round(best.phases["render"] + tail16, 3),
                 "kernel_cert": cert,
                 "iterations": executed,
                 "device": str(jax.devices()[0]),

@@ -34,6 +34,10 @@ from .ops.projection import camera_params, project, rotate_xyz
 from .runtime import RenderState
 
 _KERNEL_CACHE: dict = {}
+# chunks per device dispatch: each dispatch pays ~4 ms of tunnel latency,
+# so bigger groups amortize it; smaller groups report progress more often.
+# 64 costs one progress line per ~0.27 s of flagship render.
+DISPATCH_GROUP = 64
 # fallback nonce counters for seeded progressive DEPTH renders, keyed by
 # config fingerprint (see the nonce derivation in :func:`render`)
 import itertools as _itertools
@@ -306,10 +310,11 @@ def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> Render
     if strategy is None:
         strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes, chunk_steps, nchunks = plan_schedule(config)
-    # warm exactly the kernel variants render() will dispatch: the 32-chunk
-    # group plus the remainder group (nchunks % 32); pin the resolved
-    # schedule so the warm run hits the same cache keys
-    warm_chunks = nchunks if nchunks <= 32 else 32 + (nchunks % 32 or 32)
+    # warm exactly the kernel variants render() will dispatch: the full
+    # dispatch group plus the remainder group; pin the resolved schedule so
+    # the warm run hits the same cache keys
+    g = DISPATCH_GROUP
+    warm_chunks = nchunks if nchunks <= g else g + (nchunks % g or g)
     warm = config.replace(
         iterations=lanes * chunk_steps * warm_chunks,
         lanes=lanes,
@@ -383,9 +388,9 @@ def render(
 
     lanes, chunk_steps, nchunks = plan_schedule(config)
     # split chunks over a few dispatches so long renders report progress;
-    # only two kernel variants compile per schedule (the 32-chunk group and
-    # the remainder group), which precompile() warms exactly
-    inner = min(nchunks, 32)
+    # only two kernel variants compile per schedule (the DISPATCH_GROUP
+    # group and the remainder group), which precompile() warms exactly
+    inner = min(nchunks, DISPATCH_GROUP)
     outer_full, rem = divmod(nchunks, inner)
 
     a = config.angle if angle is None else angle

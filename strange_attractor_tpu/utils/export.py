@@ -81,8 +81,17 @@ def fetch_image(img) -> np.ndarray:
     if itemsize >= 4 or n * itemsize % 4:
         return np.asarray(jax.device_get(img))
     packed = lax.bitcast_convert_type(img.reshape(-1, per), jnp.uint32)
-    host = np.ascontiguousarray(np.asarray(jax.device_get(packed)))
-    return host.view(img.dtype).reshape(img.shape)
+    words = packed.shape[0]
+    if n * itemsize >= (1 << 21) and words % 2 == 0:
+        # two in-flight transfers overlap the tunnel's per-transfer
+        # bookkeeping (~-25% on a 5.9 MB frame, measured round 3)
+        bands = [packed[: words // 2], packed[words // 2:]]
+        for b in bands:
+            b.copy_to_host_async()
+        host = np.concatenate([np.asarray(jax.device_get(b)) for b in bands])
+    else:
+        host = np.asarray(jax.device_get(packed))
+    return np.ascontiguousarray(host).view(img.dtype).reshape(img.shape)
 
 
 # ---------------------------------------------------------------- PNG ----

@@ -52,17 +52,7 @@ def main() -> int:
         (BinStrategy.PACKED, RenderKind.GAS, slow_budget),
         (BinStrategy.EXACT, RenderKind.GAS, slow_budget),
     ]
-    for strategy, kind, budget in rows:
-        cfg = presets.poisson_saturne(
-            iterations=budget,
-            width=1920,
-            height=1080,
-            colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
-            render=kind,
-            seed=0,
-            silent=True,
-            bin_strategy=strategy,
-        )
+    def measure(cfg, **extra):
         lanes, chunk, nchunks = plan_schedule(cfg)
         executed = lanes * chunk * nchunks
         precompile(cfg)
@@ -75,7 +65,7 @@ def main() -> int:
         print(
             json.dumps(
                 {
-                    "strategy": strategy.value,
+                    **extra,
                     "iters_per_sec": round(best, 1),
                     "iterations": executed,
                     "frame_1e9_s": round(1e9 / best, 2),
@@ -83,6 +73,36 @@ def main() -> int:
             ),
             flush=True,
         )
+
+    for strategy, kind, budget in rows:
+        measure(
+            presets.poisson_saturne(
+                iterations=budget,
+                width=1920,
+                height=1080,
+                colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
+                render=kind,
+                seed=0,
+                silent=True,
+                bin_strategy=strategy,
+            ),
+            strategy=strategy.value,
+        )
+
+    # reference workload 2 (README.md:74-75): solar-sail 1e9 @ 1800x2000,
+    # brightness -0.1 — the larger canvas picks up the auto 64-row window
+    measure(
+        presets.solar_sail(
+            iterations=fast_budget,
+            width=1800,
+            height=2000,
+            colors=Colors(brightness=BrightnessConstants(offset=-0.1)),
+            seed=0,
+            silent=True,
+        ),
+        strategy="kernel",
+        workload="solar-sail 1e9 1800x2000 b-0.1 (reference workload 2)",
+    )
     return 0
 
 
