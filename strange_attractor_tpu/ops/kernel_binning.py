@@ -193,8 +193,11 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
             fmin = jnp.min(fi)
             crow = fi >> 7
             ccol = fi & 127
-            wmin = jnp.min(crow) // W
-            wmax = jnp.max(crow) // W
+            # lax.div, not //: jnp.floor_divide's Mosaic lowering recurses
+            # under jax_enable_x64 (as does a python-int fori bound); both
+            # are equal here since crow >= 0
+            wmin = lax.div(jnp.min(crow), jnp.int32(W))
+            wmax = lax.div(jnp.max(crow), jnp.int32(W))
             maski = mask.astype(jnp.int32)
             svals = []  # (1, rl) per-point byte values -128, winner-masked
             for ref in payload_refs:
@@ -245,9 +248,14 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
                 def _():
                     flush(cur)
 
-                onehot = ((subf % W == (fmin >> 7) - w0 * W)
+                onehot = ((lax.rem(subf, jnp.int32(W)) == (fmin >> 7) - w0 * W)
                           & (lanef == (fmin & 127))).astype(jnp.int32)
-                blockv = [jnp.int32(rl)] + [jnp.sum(s) for s in svals]
+                # max+min, not jnp.sum: the winner-masked row has at most
+                # ONE nonzero value, so max(s)+min(s) == sum(s) — and
+                # unlike jnp.sum (which routes int32 through an int64
+                # accumulator under jax_enable_x64, unlowerable by Mosaic)
+                # the extrema preserve the dtype
+                blockv = [jnp.int32(rl)] + [jnp.max(s) + jnp.min(s) for s in svals]
                 vals = jnp.concatenate(
                     [jnp.full((W, LANES), v, jnp.int32) for v in blockv], axis=0
                 )
@@ -257,7 +265,10 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
             cur = lax.cond(fmin == jnp.max(fi), uniform, general, cur)
             return cur
 
-        cur = lax.fori_loop(0, nrows, row_body, jnp.int32(-1))
+        # int32 bounds: under jax_enable_x64, python-int bounds give the
+        # loop an int64 counter, which Mosaic's convert helper cannot lower
+        # (infinite recursion in _convert_helper; found via the f64 path)
+        cur = lax.fori_loop(jnp.int32(0), jnp.int32(nrows), row_body, jnp.int32(-1))
         flush(cur)
 
     return kernel, n_blocks

@@ -45,10 +45,18 @@ count = np.asarray(st.count)
 visited = (count > 0) | (oc > 0)
 agree = float((count == oc)[visited].mean()) if visited.any() else 1.0
 zb = np.asarray(st.zbuf)
+
+# the sort-bin pipeline must also work under x64 (interpret mode here; the
+# Mosaic i64-loop-counter regression is covered on-chip by bench/check):
+# identical trajectories => identical counts
+st_k = render(cfg.replace(bin_strategy=BinStrategy.KERNEL), key=key)
+kernel_counts_equal = bool((np.asarray(st_k.count) == count).all())
+
 print("RESULT " + json.dumps({
     "agree": agree,
     "visited": int(visited.sum()),
     "zbuf_close": bool(np.allclose(zb, ozb, atol=1e-5)),
+    "kernel_counts_equal": kernel_counts_equal,
 }))
 '''
 
@@ -65,6 +73,7 @@ def test_f64_render_matches_f64_oracle():
     assert res["visited"] > 50, res
     assert res["agree"] >= 0.999, res
     assert res["zbuf_close"], res
+    assert res["kernel_counts_equal"], res
 
 
 def test_f64_requires_x64_flag():
