@@ -1,7 +1,9 @@
 """Build + load the native C++ helpers (parallel deflate for PNG export).
 
-The shared library is compiled on demand from ``native/fastdeflate.cpp`` with
-the system ``g++`` into a per-user cache directory, then loaded with ctypes.
+The shared library is compiled on demand from the packaged
+``strange_attractor_tpu/native/fastdeflate.cpp`` with the system ``g++`` into
+a per-user cache directory, then loaded with ctypes (shipped as package data
+so installed wheels keep the fast path).
 Everything degrades gracefully: if the toolchain or zlib headers are missing,
 callers fall back to the pure-Python writers.
 """
@@ -17,7 +19,7 @@ import zlib
 from pathlib import Path
 from typing import Optional
 
-_SOURCE = Path(__file__).resolve().parent.parent.parent / "native" / "fastdeflate.cpp"
+_SOURCE = Path(__file__).resolve().parent.parent / "native" / "fastdeflate.cpp"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
