@@ -148,7 +148,8 @@ def _u32_from_bytes(a, off, W, bias):
     return (bs[3] << 24) | (bs[2] << 16) | (bs[1] << 8) | bs[0]
 
 
-def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: int, w: int):
+def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: int, w: int,
+                       alloc_rows: int):
     """Shared row-walk kernel: count + ``n_payload`` byte-decomposed winner
     payloads, window-scratch accumulation, ``flush_fn(acc_ref, refs, cur)``
     writing one window back to the delta planes. ``rl`` points per row.
@@ -159,9 +160,26 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
     each per-point one-hot build touches WINDOW_ROWS cells instead of 128
     and the output tiles land in WINDOW_ROWS-row blocks of the scratch —
     ~40% fewer VPU cells per point at identical MAC count.
+
+    Sentinel handling (out-of-bounds + evicted points, remapped to the
+    garbage window's first pixel): they sort into a contiguous TAIL of each
+    section, forming all-sentinel uniform rows whose scratch update the
+    uniform branch skips, and the one mixed real/sentinel boundary row
+    clamps its window sweep to the last REAL window — sentinel
+    contributions land only in the garbage window, which the caller slices
+    away, so skipping them is semantics-free. Without the clamp that single
+    row would sweep every window between its real points and the garbage
+    window (hundreds of dots); with pixel-0 flood eviction feeding whole
+    sections of sentinels, both guards together make evicted points cheap
+    in the apply (row load + reductions only). The row walk itself stays a
+    static-bound ``fori_loop`` with the original two-way cond: an early-
+    exit while-loop restructure measured -12% end-to-end on the flagship
+    (Mosaic software-pipelines the static loop; the dynamic trip count
+    defeats that).
     """
     n_blocks = 1 + 4 * n_payload
     W = w
+    n_win = alloc_rows // w  # last window = garbage (canvas_geometry)
 
     def kernel(f_ref, *rest):
         payload_refs = rest[:n_payload]
@@ -187,6 +205,8 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
         subf = lax.broadcasted_iota(jnp.int32, (W * n_blocks, LANES), 0)
         lanef = lax.broadcasted_iota(jnp.int32, (W * n_blocks, LANES), 1)
 
+        sent = jnp.int32((alloc_rows - W) * LANES)
+
         def row_body(r, cur):
             f_row, mask = _winner_mask(f_ref, r, nrows, lane1, rl, first=first)
             fi = f_row.astype(jnp.int32)
@@ -197,7 +217,11 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
             # under jax_enable_x64 (as does a python-int fori bound); both
             # are equal here since crow >= 0
             wmin = lax.div(jnp.min(crow), jnp.int32(W))
-            wmax = lax.div(jnp.max(crow), jnp.int32(W))
+            # clamp the sweep to real windows: sentinel points in a mixed
+            # boundary row contribute only to the garbage window (sliced
+            # away), so walking up to it is pure waste
+            wmax = jnp.minimum(lax.div(jnp.max(crow), jnp.int32(W)),
+                               jnp.int32(n_win - 2))
             maski = mask.astype(jnp.int32)
             svals = []  # (1, rl) per-point byte values -128, winner-masked
             for ref in payload_refs:
@@ -242,25 +266,37 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
                 # winner-masked byte values reduce to their lane sum — zero
                 # when the run continues into the next row, in which case a
                 # later row of the same window contributes the mark.
-                w0 = wmin
+                #
+                # An ALL-SENTINEL row (fmin == sent) is a uniform row of the
+                # garbage pixel: its contribution is sliced away by the
+                # caller, so skip the scratch update entirely and keep the
+                # current window. With pixel-0 eviction these rows are
+                # 35-40% of a flood-heavy section; the branch sits INSIDE
+                # uniform so non-sentinel rows trace exactly as before (an
+                # outer while/cond restructure measured -12% end-to-end —
+                # Mosaic pipelines the static fori, docs/KERNEL_NOTES.md).
+                def real(cur):
+                    w0 = wmin
 
-                @pl.when(cur != w0)
-                def _():
-                    flush(cur)
+                    @pl.when(cur != w0)
+                    def _():
+                        flush(cur)
 
-                onehot = ((lax.rem(subf, jnp.int32(W)) == (fmin >> 7) - w0 * W)
-                          & (lanef == (fmin & 127))).astype(jnp.int32)
-                # max+min, not jnp.sum: the winner-masked row has at most
-                # ONE nonzero value, so max(s)+min(s) == sum(s) — and
-                # unlike jnp.sum (which routes int32 through an int64
-                # accumulator under jax_enable_x64, unlowerable by Mosaic)
-                # the extrema preserve the dtype
-                blockv = [jnp.int32(rl)] + [jnp.max(s) + jnp.min(s) for s in svals]
-                vals = jnp.concatenate(
-                    [jnp.full((W, LANES), v, jnp.int32) for v in blockv], axis=0
-                )
-                acc_ref[:, :] += onehot * vals
-                return w0
+                    onehot = ((lax.rem(subf, jnp.int32(W)) == (fmin >> 7) - w0 * W)
+                              & (lanef == (fmin & 127))).astype(jnp.int32)
+                    # max+min, not jnp.sum: the winner-masked row has at most
+                    # ONE nonzero value, so max(s)+min(s) == sum(s) — and
+                    # unlike jnp.sum (which routes int32 through an int64
+                    # accumulator under jax_enable_x64, unlowerable by Mosaic)
+                    # the extrema preserve the dtype
+                    blockv = [jnp.int32(rl)] + [jnp.max(s) + jnp.min(s) for s in svals]
+                    vals = jnp.concatenate(
+                        [jnp.full((W, LANES), v, jnp.int32) for v in blockv], axis=0
+                    )
+                    acc_ref[:, :] += onehot * vals
+                    return w0
+
+                return lax.cond(fmin == sent, lambda c: c, real, cur)
 
             cur = lax.cond(fmin == jnp.max(fi), uniform, general, cur)
             return cur
@@ -352,7 +388,9 @@ def _sections(npix, flat, payloads, section, pad_values, *, stable=True, w=WINDO
 
 
 def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out, interpret, w=WINDOW_ROWS):
-    kern, n_blocks = _make_apply_kernel(R_s, len(sorted_arrays) - 1, first, flush_fn, rl, w)
+    kern, n_blocks = _make_apply_kernel(
+        R_s, len(sorted_arrays) - 1, first, flush_fn, rl, w, alloc_rows
+    )
     return pl.pallas_call(
         kern,
         grid=(S,),
@@ -379,20 +417,46 @@ def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
     is int32 with ``npix`` marking out-of-bounds points; ``packed_update``
     is the uint32 packing of :func:`ops.binning.pack_zv`. Returns updated
     (count, packed) — bit-identical to :func:`ops.binning.bin_chunk_packed`.
+
+    Flood-heavy chunks EVICT pixel 0 before the sort: its whole update is a
+    commutative (count += n, packed = max) that two vector reductions
+    compute directly, so the points are remapped to out-of-bounds and ride
+    the sort as a near-free sentinel tail (see _make_apply_kernel). This is
+    the hot-pixel pathology of the reference's NaN quirk — escaped orbits
+    bin every remaining iteration at pixel (0,0) (src/lib.rs:789-812),
+    35-40% of ALL points on a long solar-sail render (+7% end-to-end
+    there). The eviction is gated at runtime on the chunk's pixel-0 count
+    (> 1/64 of the chunk): its plumbing measured -1.6% on flood-free
+    flagship renders, so quiet chunks take a branch that is op-identical to
+    the ungated pipeline. Bit-exact either way, for any pixel-0 point,
+    flood or legitimate.
     """
-    # both operands are keys: unstable sort is semantics-free and 33% faster
-    sorted_arrays, S, R_s, rl, alloc_rows = _sections(
-        npix, flat, [packed_update], section, [jnp.uint32(0)], stable=False,
-        w=window,
-    )
-    dcnt, dpk = _run_apply(
-        sorted_arrays, S, R_s, rl, alloc_rows,
-        first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
-        w=window,
-    )
-    count = count + dcnt.reshape(-1)[:npix]
-    packed = jnp.maximum(packed, dpk.reshape(-1)[:npix])
-    return count, packed
+    is0 = flat == 0
+    n0 = jnp.sum(is0, dtype=jnp.uint32)
+
+    def run(f):
+        # both operands are keys: unstable sort is semantics-free, 33% faster
+        sorted_arrays, S, R_s, rl, alloc_rows = _sections(
+            npix, f, [packed_update], section, [jnp.uint32(0)], stable=False,
+            w=window,
+        )
+        dcnt, dpk = _run_apply(
+            sorted_arrays, S, R_s, rl, alloc_rows,
+            first=False, flush_fn=_flush_packed, n_out=2, interpret=interpret,
+            w=window,
+        )
+        return (count + dcnt.reshape(-1)[:npix],
+                jnp.maximum(packed, dpk.reshape(-1)[:npix]))
+
+    def evicted(_):
+        p0 = jnp.max(jnp.where(is0, packed_update, jnp.uint32(0)))
+        c, p = run(jnp.where(is0, jnp.int32(npix), flat))
+        return c.at[0].add(n0), p.at[0].max(p0)
+
+    def plain(_):
+        return run(flat)
+
+    return lax.cond(n0 > jnp.uint32(max(1, flat.size // 64)), evicted, plain, None)
 
 
 # EXACT carries 9 scratch blocks (count + 8 winner byte planes); its apply
@@ -465,13 +529,30 @@ def bin_chunk_kernel_depth(zbuf, flat, z, *, npix: int,
     # adjacent keys while the reference's float compare ties them
     z = jnp.where(z == 0.0, jnp.float32(0.0), z.astype(jnp.float32))
     zm = _mono_u32(z)
-    sorted_arrays, S, R_s, rl, alloc_rows = _sections(
-        npix, flat, [zm], section, [jnp.uint32(0)], stable=False, w=window,
-    )
-    (dzm,) = _run_apply(
-        sorted_arrays, S, R_s, rl, alloc_rows,
-        first=False, flush_fn=_flush_depth, n_out=1, interpret=interpret,
-        w=window,
-    )
-    zm_old = _mono_u32(zbuf)
-    return (_inv_mono_u32(jnp.maximum(zm_old, dzm.reshape(-1)[:npix])),)
+    is0 = flat == 0
+    n0 = jnp.sum(is0, dtype=jnp.uint32)
+
+    def run(f, fix):
+        sorted_arrays, S, R_s, rl, alloc_rows = _sections(
+            npix, f, [zm], section, [jnp.uint32(0)], stable=False, w=window,
+        )
+        (dzm,) = _run_apply(
+            sorted_arrays, S, R_s, rl, alloc_rows,
+            first=False, flush_fn=_flush_depth, n_out=1, interpret=interpret,
+            w=window,
+        )
+        zm_old = _mono_u32(zbuf)
+        return (_inv_mono_u32(jnp.maximum(zm_old, fix(dzm.reshape(-1)[:npix]))),)
+
+    def evicted(_):
+        # flood-gated pixel-0 eviction (see bin_chunk_kernel): the flood
+        # points' mono keys reduce in one vector max; 0 is the "no visit"
+        # key, so it never beats a standing value
+        zm0 = jnp.max(jnp.where(is0, zm, jnp.uint32(0)))
+        return run(jnp.where(is0, jnp.int32(npix), flat),
+                   lambda d: d.at[0].max(zm0))
+
+    def plain(_):
+        return run(flat, lambda d: d)
+
+    return lax.cond(n0 > jnp.uint32(max(1, flat.size // 64)), evicted, plain, None)

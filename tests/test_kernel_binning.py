@@ -401,3 +401,69 @@ def test_exact_kernel_uniform_rows_fast_path():
     np.testing.assert_array_equal(np.asarray(cnt), ec[:npix].astype(np.uint32))
     np.testing.assert_array_equal(np.asarray(zbuf), ez[:npix])
     np.testing.assert_array_equal(np.asarray(steps), es[:npix])
+
+
+def test_kernel_pixel0_flood_eviction():
+    """Flood-heavy streams (the solar-sail NaN quirk bins 35-40% of all
+    points at pixel (0,0), src/lib.rs:789-812): the pixel-0 eviction +
+    sentinel-tail skip + mixed-row window clamp must stay bit-exact, both
+    within one chunk and accumulating onto a standing canvas whose pixel 0
+    already holds a value."""
+    npix = 128 * 128
+    rng = np.random.default_rng(21)
+    n = 1 << 12
+    flat = rng.integers(0, npix, n).astype(np.int32)
+    flat[rng.random(n) < 0.40] = 0           # flood
+    flat[rng.random(n) < 0.05] = npix        # out-of-bounds convention
+    packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    cnt, pk = _run_kernel(npix, flat, packed)
+    want_c, want_p = _reference(npix, flat, packed)
+    np.testing.assert_array_equal(np.asarray(cnt), want_c)
+    np.testing.assert_array_equal(np.asarray(pk), want_p)
+
+    # second chunk with no pixel-0 points: the standing pixel-0 value must
+    # survive untouched through the eviction's no-op fixup
+    flat2 = rng.integers(1, npix, n).astype(np.int32)
+    packed2 = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    cnt2, pk2 = _run_kernel(npix, flat2, packed2, state=(cnt, pk))
+    want_c2, want_p2 = _reference(npix, np.concatenate([flat, flat2]),
+                                  np.concatenate([packed, packed2]))
+    np.testing.assert_array_equal(np.asarray(cnt2), want_c2)
+    np.testing.assert_array_equal(np.asarray(pk2), want_p2)
+
+
+def test_kernel_all_pixel0_chunk():
+    """Degenerate chunk: every point evicted -> the kernel sees only
+    sentinels and the fixup carries the whole update."""
+    npix = 128 * 128
+    n = 2048
+    flat = np.zeros(n, np.int32)
+    packed = np.arange(n, dtype=np.uint32)
+    cnt, pk = _run_kernel(npix, flat, packed)
+    assert int(cnt[0]) == n
+    assert int(pk[0]) == n - 1
+    assert int(np.asarray(cnt).sum()) == n
+
+
+def test_depth_kernel_pixel0_flood():
+    """DEPTH_KERNEL's eviction folds flood z's through the monotone-u32 max,
+    including negatives and the +/-0.0 tie."""
+    import jax.numpy as jnp
+
+    from strange_attractor_tpu.ops import binning, kernel_binning as kb
+
+    rng = np.random.default_rng(22)
+    npix = 64 * 36
+    n = 4096
+    flat = rng.integers(0, npix + 1, n).astype(np.int32)
+    flat[rng.random(n) < 0.35] = 0
+    z = rng.normal(size=n).astype(np.float32)
+    z[:8] = 0.0
+    z[8:16] = -0.0
+    zbuf0 = jnp.full((npix,), -1.0, jnp.float32)
+    (ref,) = binning.bin_chunk_depth(zbuf0, jnp.asarray(flat), jnp.asarray(z))
+    (got,) = kb.bin_chunk_kernel_depth(
+        zbuf0, jnp.asarray(flat), jnp.asarray(z), npix=npix, section=1 << 10,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

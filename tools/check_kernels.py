@@ -35,6 +35,10 @@ def certify_kernels(n: int = 1 << 20, seclog: int = 17, npix: int = 1920 * 1080,
     rng = np.random.default_rng(seed)
     flat = rng.integers(0, npix, n).astype(np.int32)
     flat[rng.random(n) < 0.02] = npix  # out-of-bounds convention
+    # flood pixel (0,0) like solar-sail's NaN quirk (35-40% of points on a
+    # long render): exercises the eviction fixup, the sentinel-tail skip,
+    # and the mixed-row window clamp in the compiled Mosaic kernel
+    flat[rng.random(n) < 0.35] = 0
     packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
 
     cnt = jnp.zeros((npix,), jnp.uint32)
