@@ -10,6 +10,13 @@ repetition (XOR-perturbed between iterations so XLA cannot CSE):
 - sort:       sentinel-map + section reshape + lax.sort (kernel_binning._sections)
 - sort+apply: the full bin_chunk_kernel incl. the npix-plane merge
 
+CAVEAT: isolated phases run SLOWER than their share of the real pipeline
+(the phase sum here exceeds 1e9/end-to-end-rate by ~50%): jit-parameter
+boundaries pin layouts the fused pipeline never materializes and XLA
+overlap across phases is lost. Use the splits to compare WORKLOADS or
+RATIOS, not as absolute budgets; absolute per-phase budgets come from
+ablation diffs of end-to-end runs (docs/KERNEL_NOTES.md).
+
     python tools/phase_split.py [workload] [chunks_in]
 
 workload: "poisson" (default; reference workload 1 canvas) or "solar"
