@@ -467,3 +467,39 @@ def test_depth_kernel_pixel0_flood():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_exact_kernel_pixel0_flood():
+    """EXACT under a pixel-0 flood (never-winning -inf z interleaved with
+    legitimate pixel-0 points): strict z-test, earliest-wins ties, exact
+    count. (EXACT deliberately does NOT evict floods — measured slower on
+    chip, docs/KERNEL_NOTES.md — so this pins the plain path's semantics
+    on the flood shape.)"""
+    npix = 64 * 36
+    rng = np.random.default_rng(23)
+    n = 4096
+    flat = rng.integers(0, npix, n).astype(np.int32)
+    flood = rng.random(n) < 0.4
+    flat[flood] = 0
+    z = rng.normal(0, 0.5, n).astype(np.float32)
+    z = np.round(z * 32) / 32  # force exact ties
+    z[flood] = -np.inf         # NaN-quirk floods arrive as -inf
+    # a few legitimate pixel-0 hits with real z, interleaved with floods
+    legit = rng.choice(np.nonzero(~flood)[0], 40, replace=False)
+    flat[legit] = 0
+    val = rng.random(n).astype(np.float32)
+    cnt, st, zb = _run_exact(npix, flat, z, val)
+
+    ec = np.zeros(npix, np.uint64)
+    es = np.zeros(npix, np.float32)
+    ez = np.full(npix, -1.0, np.float32)
+    for f, zz, vv in zip(flat, z, val):
+        if f >= npix:
+            continue
+        ec[f] += 1
+        if zz > ez[f]:
+            ez[f] = zz
+            es[f] = vv
+    np.testing.assert_array_equal(np.asarray(cnt), ec.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(zb), ez)
+    np.testing.assert_array_equal(np.asarray(st), es)

@@ -70,6 +70,13 @@ def certify_kernels(n: int = 1 << 20, seclog: int = 17, npix: int = 1920 * 1080,
     z[rng.random(n) < 0.02] = -2.0  # below sentinel: counted, never wins
     # quantize z so exact ties occur and exercise the stable-order path
     z = np.round(z * 64) / 64
+    # give half the pixel-0 flood a never-winning z (-inf, like the real
+    # NaN quirk); the other half keeps real z and must still resolve ties
+    # in stream order — the realistic hard case for EXACT under floods
+    # (EXACT deliberately does NOT evict: measured -5.5% on solar-sail,
+    # docs/KERNEL_NOTES.md)
+    p0 = np.nonzero(flat == 0)[0]
+    z[p0[: len(p0) // 2]] = -np.inf
     val = rng.random(n).astype(np.float32)
     cnt_e = jnp.zeros((npix,), jnp.uint32)
     st_e = jnp.zeros((npix,), jnp.float32)
