@@ -17,9 +17,9 @@ default no-flag deliverable (16-bit RGB), whose 12.4 MB host fetch is pure
 tunnel bandwidth on this dev platform.
 
 Before any timed run the compiled Mosaic kernels are certified bit-exact
-against a sequential numpy reference (KERNEL + EXACT_KERNEL + DEPTH_KERNEL
-on 2^20 random points at the production section size) — a wrong-but-fast
-kernel fails the bench instead of recording a number.
+against a sequential numpy reference (KERNEL + EXACT_KERNEL + EXACT16_KERNEL
++ DEPTH_KERNEL on 2^20 random points at the production section size) — a
+wrong-but-fast kernel fails the bench instead of recording a number.
 """
 
 from __future__ import annotations

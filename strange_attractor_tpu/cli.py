@@ -109,18 +109,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Map steps per binning flush (default: auto)")
     p.add_argument("--bin-strategy",
                    choices=["auto", "exact", "packed", "depth", "kernel", "exact-kernel",
-                            "depth-kernel"],
+                            "exact16-kernel", "depth-kernel"],
                    default="auto",
                    help="Canvas accumulation strategy. 'auto' picks 'kernel' on TPU "
                         "(sort-bin Pallas pipeline, ~7x 'packed'); kernel/packed "
                         "quantize depth to ~2^-11 relative and the palette position "
                         "to 1/4096 — pass 'exact-kernel' for full-f32 "
                         "reference-faithful accumulation via the same fast pipeline, "
+                        "'exact16-kernel' for the same strict z-test discipline at "
+                        "16-bit z granularity near 'kernel' speed, "
                         "or 'exact' for the XLA scatter path (see BASELINE.md)")
     p.add_argument("--kernel-window", dest="kernel_window", type=int, default=None,
                    help="Canvas rows per apply window in the *_KERNEL binning "
                         "strategies (default: per-strategy measured optimum; "
                         "sweep per workload for large canvases)")
+    p.add_argument("--exact16-ties", dest="exact16_ties",
+                   choices=["value", "earliest"], default="value",
+                   help="exact16-kernel bucket-tie discipline: 'value' (smallest "
+                        "f16 value of the top z bucket; 2-operand sort fast path, "
+                        "~1.4x faster) or 'earliest' (first-emitted, the "
+                        "reference's stream-order rule, via the stable sort)")
     p.add_argument("--seed", type=int, default=None, help="Deterministic RNG seed")
     p.add_argument("--reseed-lanes", dest="reseed_lanes", action="store_true",
                    help="Resurrect trajectory lanes whose orbit escaped to infinity "
@@ -241,6 +249,7 @@ def config_from_args(args):
         chunk_steps=args.chunk_steps,
         bin_strategy=BinStrategy(args.bin_strategy),
         kernel_window=args.kernel_window,
+        exact16_ties=args.exact16_ties,
         seed=args.seed,
         reseed_lanes=args.reseed_lanes,
     )

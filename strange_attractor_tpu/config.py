@@ -147,6 +147,14 @@ class BinStrategy(enum.Enum):
       EXACT on TPU, and *stronger* than the scatter path on one edge:
       equal-(pixel, z) duplicates within a chunk resolve deterministically
       to the earliest-emitted value (the reference's strict z2 > zbuf).
+    - EXACT16_KERNEL: the same EXACT planes and strict z-test discipline
+      with z compared at 16-bit mono-bucket granularity (2^-7 relative)
+      and values carried as float16 — one 4-byte winner payload instead
+      of EXACT_KERNEL's eight byte-planes, so the apply runs at KERNEL's
+      width and (with the default ``exact16_ties="value"``) the sort on
+      XLA's 2-operand fast path: ~1.6x EXACT_KERNEL end-to-end. The
+      middle fidelity/speed tier; precision contract and the bucket-tie
+      disciplines in ops/kernel_binning.bin_chunk_kernel_exact16.
     - DEPTH_KERNEL: DEPTH-identical single zbuf plane through the sort-bin
       pipeline (the winner key is the monotone-u32 image of z) — ~3x the
       scatter DEPTH path.
@@ -159,6 +167,7 @@ class BinStrategy(enum.Enum):
     DEPTH = "depth"
     KERNEL = "kernel"
     EXACT_KERNEL = "exact-kernel"
+    EXACT16_KERNEL = "exact16-kernel"
     DEPTH_KERNEL = "depth-kernel"
     AUTO = "auto"
 
@@ -168,7 +177,7 @@ class BinStrategy(enum.Enum):
         only in the accumulation path)."""
         if self == BinStrategy.KERNEL:
             return BinStrategy.PACKED
-        if self == BinStrategy.EXACT_KERNEL:
+        if self in (BinStrategy.EXACT_KERNEL, BinStrategy.EXACT16_KERNEL):
             return BinStrategy.EXACT
         if self == BinStrategy.DEPTH_KERNEL:
             return BinStrategy.DEPTH
@@ -223,6 +232,13 @@ class Config:
     # canvases can prefer a different window — sweep end-to-end per
     # workload (docs/KERNEL_NOTES.md round-3)
     kernel_window: Optional[int] = None
+    # EXACT16_KERNEL bucket-tie discipline: "value" (default — smallest f16
+    # bit-pattern of the top z bucket wins; rides XLA's 2-operand sort fast
+    # path, ~1.4x "earliest" end-to-end) or "earliest" (first-emitted point
+    # of the top bucket, EXACT_KERNEL's discipline, via the stable sort).
+    # Both are deterministic choices within the documented 2^-7 z-bucket
+    # quantization; see ops/kernel_binning.bin_chunk_kernel_exact16.
+    exact16_ties: str = "value"
     dtype: str = "float32"
     seed: Optional[int] = None
     # Resurrect lanes whose orbit escaped to infinity (see
@@ -238,6 +254,9 @@ class Config:
             raise ValueError(f"iterations must be non-negative, got {self.iterations}")
         if self.warmup < 0:
             raise ValueError(f"warmup must be non-negative, got {self.warmup}")
+        if self.exact16_ties not in ("value", "earliest"):
+            raise ValueError(
+                f"exact16_ties must be 'value' or 'earliest', got {self.exact16_ties!r}")
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -322,6 +341,7 @@ class Config:
             self.bin_strategy.value,
             self.resolved_kernel_section(),
             self.kernel_window,
+            self.exact16_ties,
             self.dtype,
             self.reseed_lanes,
         ]

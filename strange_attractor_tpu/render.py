@@ -175,7 +175,8 @@ def _bin_fn(config: Config, strategy: BinStrategy):
     operate on the standard flattened (npix,) planes; the *_KERNEL ones run
     the sort-bin pipeline (:mod:`ops.kernel_binning`) instead of XLA
     scatters (:mod:`ops.binning`)."""
-    if strategy in (BinStrategy.KERNEL, BinStrategy.EXACT_KERNEL, BinStrategy.DEPTH_KERNEL):
+    if strategy in (BinStrategy.KERNEL, BinStrategy.EXACT_KERNEL,
+                    BinStrategy.EXACT16_KERNEL, BinStrategy.DEPTH_KERNEL):
         from .ops import kernel_binning as kb
 
         npix = config.width * config.height
@@ -184,12 +185,16 @@ def _bin_fn(config: Config, strategy: BinStrategy):
         fn = {
             BinStrategy.KERNEL: kb.bin_chunk_kernel,
             BinStrategy.EXACT_KERNEL: kb.bin_chunk_kernel_exact,
+            BinStrategy.EXACT16_KERNEL: kb.bin_chunk_kernel_exact16,
             BinStrategy.DEPTH_KERNEL: kb.bin_chunk_kernel_depth,
         }[strategy]
         kwargs = dict(npix=npix, section=section, interpret=interpret)
+        if strategy is BinStrategy.EXACT16_KERNEL:
+            kwargs["ties"] = config.exact16_ties
         window = config.kernel_window
         if (window is None
-                and strategy in (BinStrategy.KERNEL, BinStrategy.DEPTH_KERNEL)
+                and strategy in (BinStrategy.KERNEL, BinStrategy.EXACT16_KERNEL,
+                                 BinStrategy.DEPTH_KERNEL)
                 and npix > 3_000_000):
             # large canvases spread each section over more windows; a wider
             # flush window costs more MACs/visit but ~halves the visits.

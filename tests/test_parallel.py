@@ -82,7 +82,8 @@ def test_merge_collective_packed(cpu_devices):
 
 @pytest.mark.parametrize(
     "strategy", [BinStrategy.EXACT, BinStrategy.PACKED, BinStrategy.KERNEL,
-                 BinStrategy.EXACT_KERNEL, BinStrategy.DEPTH_KERNEL]
+                 BinStrategy.EXACT_KERNEL, BinStrategy.EXACT16_KERNEL,
+                 BinStrategy.DEPTH_KERNEL]
 )
 def test_render_sharded(cpu_devices, strategy):
     depth = strategy is BinStrategy.DEPTH_KERNEL

@@ -48,6 +48,7 @@ def main() -> int:
         (BinStrategy.KERNEL, RenderKind.GAS, fast_budget),
         (BinStrategy.DEPTH_KERNEL, RenderKind.DEPTH, fast_budget),
         (BinStrategy.EXACT_KERNEL, RenderKind.GAS, fast_budget),
+        (BinStrategy.EXACT16_KERNEL, RenderKind.GAS, fast_budget),
         (BinStrategy.DEPTH, RenderKind.DEPTH, slow_budget),
         (BinStrategy.PACKED, RenderKind.GAS, slow_budget),
         (BinStrategy.EXACT, RenderKind.GAS, slow_budget),

@@ -104,6 +104,62 @@ def certify_kernels(n: int = 1 << 20, seclog: int = 17, npix: int = 1920 * 1080,
         log(f"steps mismatches: {bad} {np.asarray(st_e)[bad]} {es[bad]}")
         raise AssertionError("EXACT_KERNEL mismatch vs sequential reference")
 
+    # EXACT16_KERNEL: same z-test discipline at 16-bit bucket granularity,
+    # f16 values; verified bit-for-bit against a sequential reference that
+    # applies the documented quantizer (bucket lower edge, strict >,
+    # earliest-wins bucket ties)
+    u = z.astype(np.float32)
+    u = np.where(u == 0.0, np.float32(0.0), u)  # kernel canonicalizes -0.0
+    ub = u.view(np.uint32)
+    mono = np.where(ub >> 31 == 1, ~ub, ub | np.uint32(0x80000000))
+    edge = ((mono >> 16) << 16).astype(np.uint32)
+    z_q = np.where(edge < 0x80000000, ~edge,
+                   edge & np.uint32(0x7FFFFFFF)).astype(np.uint32).view(np.float32)
+    v16 = val.astype(np.float16).astype(np.float32)
+    v16bits = val.astype(np.float16).view(np.uint16)
+    live = u > -1.0
+    for ties in ("value", "earliest"):
+        ec16 = np.zeros(npix + 1, np.uint64)
+        es16 = np.zeros(npix + 1, np.float32)
+        ez16 = np.full(npix + 1, -1.0, np.float32)
+        if ties == "earliest":
+            for f, ok, zz, vv in zip(flat, live, z_q, v16):
+                ec16[f] += 1
+                if ok and zz > ez16[f]:
+                    ez16[f] = zz
+                    es16[f] = vv
+        else:
+            # within the chunk: smallest f16 bit-pattern of the top bucket
+            best = {}
+            for i, (f, ok, kk, vb) in enumerate(zip(flat, live, mono >> 16, v16bits)):
+                ec16[f] += 1
+                if not ok:
+                    continue
+                key = (-int(kk), int(vb))
+                if f not in best or key < best[f][0]:
+                    best[f] = (key, i)
+            for f, (_, i) in best.items():
+                ez16[f] = z_q[i]
+                es16[f] = v16[i]
+        cnt_q = jnp.zeros((npix,), jnp.uint32)
+        st_q = jnp.zeros((npix,), jnp.float32)
+        zb_q = jnp.full((npix,), -1.0, jnp.float32)
+        t0 = time.perf_counter()
+        cnt_q, st_q, zb_q = kb.bin_chunk_kernel_exact16(
+            cnt_q, st_q, zb_q, jnp.asarray(flat), jnp.asarray(z), jnp.asarray(val),
+            npix=npix, section=1 << seclog, interpret=interpret, ties=ties,
+        )
+        log(f"exact16[{ties}] compile+run: {time.perf_counter() - t0:.1f}s")
+        ok_qc = (np.asarray(cnt_q) == ec16[:npix].astype(np.uint32)).all()
+        ok_qz = (np.asarray(zb_q) == ez16[:npix]).all()
+        ok_qs = (np.asarray(st_q) == es16[:npix]).all()
+        log(f"exact16[{ties}]: count {ok_qc}  zbuf {ok_qz}  steps {ok_qs}")
+        if not (ok_qc and ok_qz and ok_qs):
+            bad = np.nonzero(np.asarray(st_q) != es16[:npix])[0][:5]
+            log(f"exact16 steps mismatches: {bad} {np.asarray(st_q)[bad]} {es16[bad]}")
+            raise AssertionError(
+                f"EXACT16_KERNEL[{ties}] mismatch vs quantized sequential reference")
+
     # DEPTH_KERNEL: per-pixel max z through the same machinery
     zb_d = jnp.full((npix,), -1.0, jnp.float32)
     (zb_d,) = kb.bin_chunk_kernel_depth(

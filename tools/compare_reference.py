@@ -48,7 +48,8 @@ def main():
     ap.add_argument("--reuse", action="store_true",
                     help="compare an existing --out file instead of re-rendering")
     ap.add_argument("--bin-strategy", default="auto",
-                    choices=["auto", "exact", "packed", "depth", "kernel", "exact-kernel"],
+                    choices=["auto", "exact", "packed", "depth", "kernel",
+                             "exact-kernel", "exact16-kernel"],
                     help="accumulation strategy for the parity render "
                          "(records each strategy's own parity figure)")
     args = ap.parse_args()
