@@ -139,10 +139,12 @@ def main() -> None:
         if best is None or prof.iters_per_sec > best.iters_per_sec:
             best = prof
 
-    # best-of-3: the tunnel's fetch leg is the noisiest phase (±40%
-    # run-to-run on a 6 MB transfer), and wall_s is the round's headline
+    # best-of-4: the tunnel's fetch leg is the noisiest phase (±40%
+    # run-to-run on a 6 MB transfer) and the render rate itself wanders
+    # ±2-3%; wall_s is the round's headline, so buy variance down with
+    # one more ~2 s attempt
     wall = None
-    for attempt in range(3):
+    for attempt in range(4):
         t0 = time.perf_counter()
         state = render(cfg, key=jax.random.PRNGKey(0))
         img8_host = fetch_image(colorize8(state))

@@ -476,10 +476,14 @@ def _render_stateful(args, config, render_mod, state):
 
 
 def doctor() -> int:
-    """Environment self-check: device, oracle-exactness, throughput.
+    """Environment self-check: device, oracle agreement, throughput.
 
     The reference has no equivalent; this is the 'is my install sane' path
-    for a framework expected to run on varied TPU/CPU hosts.
+    for a framework expected to run on varied TPU/CPU hosts. The 98%
+    visited-pixel agreement bar is a SMOKE threshold (accumulated float
+    divergence over a real orbit is expected); the bit-exactness gates for
+    the binning kernels are tests/test_kernel_binning.py and, on-chip,
+    tools/check_kernels.py.
     """
     import jax
     import numpy as np

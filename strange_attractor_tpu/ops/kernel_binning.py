@@ -125,14 +125,18 @@ def _winner_mask(f_ref, r, nrows, lane1, rl, *, first: bool):
     row width in points (lanes).
     """
     f_row = f_ref[0, pl.ds(r, 1), :]
+    # jnp.int32 shifts: under jax_enable_x64 a python-int shift becomes an
+    # i64 constant, which tpu.dynamic_rotate rejects (i32-only operand);
+    # interpret mode doesn't catch this — only the real Mosaic compile does
     if first:
         f_adj = f_ref[0, pl.ds(jnp.maximum(r - 1, 0), 1), :]
-        other = jnp.where(lane1 == 0, pltpu.roll(f_adj, 1, 1), pltpu.roll(f_row, 1, 1))
+        other = jnp.where(lane1 == 0, pltpu.roll(f_adj, jnp.int32(1), 1),
+                          pltpu.roll(f_row, jnp.int32(1), 1))
         mask = (f_row != other) | ((lane1 == 0) & (r == 0))
     else:
         f_adj = f_ref[0, pl.ds(jnp.minimum(r + 1, nrows - 1), 1), :]
-        nxt = pltpu.roll(f_row, rl - 1, 1)
-        nxt_adj = pltpu.roll(f_adj, rl - 1, 1)
+        nxt = pltpu.roll(f_row, jnp.int32(rl - 1), 1)
+        nxt_adj = pltpu.roll(f_adj, jnp.int32(rl - 1), 1)
         other = jnp.where(lane1 == rl - 1, nxt_adj, nxt)
         mask = (f_row != other) | ((lane1 == rl - 1) & (r == nrows - 1))
     return f_row, mask
@@ -433,12 +437,20 @@ def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out,
     return pl.pallas_call(
         kern,
         grid=(S,),
+        # index maps return jnp.int32 zeros: under jax_enable_x64 a literal
+        # 0 traces as an i64 constant and Mosaic rejects the index-map
+        # func.return (i32, i64, i64) — the last x64 lowering trap after
+        # the fori/div/sum/roll ones (docstring history in git)
         in_specs=[
-            pl.BlockSpec((1, R_s, rl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, R_s, rl),
+                         lambda i: (i, jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM)
         ] * len(sorted_arrays),
         out_shape=[jax.ShapeDtypeStruct((alloc_rows, LANES), jnp.uint32)] * n_out,
         out_specs=[
-            pl.BlockSpec((alloc_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((alloc_rows, LANES),
+                         lambda i: (jnp.int32(0), jnp.int32(0)),
+                         memory_space=pltpu.VMEM)
         ] * n_out,
         scratch_shapes=[pltpu.VMEM((w * n_blocks, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),

@@ -1,0 +1,110 @@
+"""Sequence throughput: the 120-frame 360-degree rotation workload
+(BASELINE.json configs[4]; reference `sequence` subcommand,
+/root/reference/src/bin/main.rs:136-157) batched on device.
+
+Prints ONE JSON line with device-side throughput (render + colorize of all
+frames, scalar-synced) and the per-frame host-fetch cost measured
+separately: on the tunneled dev platform the link (~15 MB/s) dominates any
+multi-frame fetch, so folding it in would benchmark the tunnel, not the
+renderer. Frames are the reference CLI-default budget (1e7 iterations,
+src/bin/main.rs:215) at 1920x1080.
+
+The timed loop is the same vmapped render+colorize program
+``render_sequence_batched`` runs (render.py:584), driven directly so each
+batch syncs with a scalar fetch instead of the full-frame transfer.
+
+Usage: python tools/bench_sequence.py  [SEQ_FRAMES=120] [SEQ_ITERS=1e7]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from strange_attractor_tpu import presets
+    from strange_attractor_tpu.ops.colorize import colorize_planes, state_planes
+    from strange_attractor_tpu.parallel.mesh import planes_to_state
+    from strange_attractor_tpu.render import (
+        _auto_frames_per_batch, _canvas_body, _dtype, plan_schedule, seed_key,
+    )
+    from strange_attractor_tpu.utils.export import fetch_image
+    from strange_attractor_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() == "tpu"
+    frames = int(float(os.environ.get("SEQ_FRAMES", "120" if on_tpu else "4")))
+    iters = int(float(os.environ.get("SEQ_ITERS", "1e7" if on_tpu else "2e5")))
+    cfg = presets.poisson_saturne(iterations=iters, width=1920, height=1080,
+                                  seed=0, silent=True)
+    strategy = cfg.resolved_bin_strategy(jax.default_backend())
+    lanes, chunk, nchunks = plan_schedule(cfg)
+    per_frame = lanes * chunk * nchunks
+
+    # the same per-frame program render_sequence_batched vmaps (render.py:606)
+    body = _canvas_body(cfg, strategy, lanes, chunk, nchunks)
+    shape = (cfg.height, cfg.width)
+
+    def one(k, cos_v, sin_v):
+        st = planes_to_state(body(k, cos_v, sin_v), strategy, shape)
+        return colorize_planes(cfg, *state_planes(st))
+
+    fn = jax.jit(jax.vmap(one))
+    fpb = _auto_frames_per_batch(cfg, strategy)
+    dt = _dtype(cfg)
+    base = seed_key(cfg)
+    angles = np.linspace(0.0, 360.0, frames, endpoint=False)
+    rad = np.radians(angles)
+
+    def run(lo_hi_pairs):
+        last = None
+        for lo, hi in lo_hi_pairs:
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(lo, hi))
+            last = fn(keys, jnp.asarray(np.cos(rad[lo:hi]), dt),
+                      jnp.asarray(np.sin(rad[lo:hi]), dt))
+            # sync with a scalar fetch (block_until_ready is unreliable on
+            # the tunneled platform) without the 16.6 MB/frame transfer
+            float(last.ravel()[0])
+        return last
+
+    batches = [(lo, min(lo + fpb, frames)) for lo in range(0, frames, fpb)]
+    run(batches[:1])  # warm both the full-batch and (if any) tail programs
+    if batches[-1][1] - batches[-1][0] != fpb:
+        run(batches[-1:])
+
+    t0 = time.perf_counter()
+    last = run(batches)
+    device_s = time.perf_counter() - t0
+
+    # one-frame fetch cost, measured separately (u16 RGBA deliverable)
+    t0 = time.perf_counter()
+    host = fetch_image(last[-1])
+    fetch_s = time.perf_counter() - t0
+    assert host.shape == (1080, 1920, 4) and host.max() > 0
+
+    total_iters = frames * per_frame
+    print(json.dumps({
+        "metric": "sequence frames/sec/chip (device render+colorize)",
+        "value": round(frames / device_s, 3),
+        "unit": "frames/s",
+        "frames": frames,
+        "iters_per_frame": per_frame,
+        "frames_per_batch": fpb,
+        "device_s": round(device_s, 3),
+        "iters_per_sec": round(total_iters / device_s, 1),
+        "fetch_s_per_frame_u16rgba": round(fetch_s, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

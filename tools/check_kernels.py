@@ -5,7 +5,11 @@ test suite only covers in interpreter mode.
 Part of the verify recipe (.claude/skills/verify/SKILL.md); also run before
 trusting a bench number after kernel changes:
 
-    python tools/check_kernels.py [n_points] [section_log2]
+    python tools/check_kernels.py [n_points] [section_log2] [--x64]
+
+``--x64`` enables jax_enable_x64 first: the f64 escape hatch shares these
+kernels and x64 mode has repeatedly broken ONLY the compiled Mosaic
+lowering (never interpret mode) — run it after kernel changes too.
 
 Exits non-zero on any exactness mismatch vs a sequential numpy reference.
 ``certify_kernels`` is the importable core: bench.py runs it before every
@@ -177,6 +181,15 @@ def certify_kernels(n: int = 1 << 20, seclog: int = 17, npix: int = 1920 * 1080,
 
 def main() -> int:
     from strange_attractor_tpu.utils.profiling import enable_compilation_cache
+
+    if "--x64" in sys.argv:
+        # jax_enable_x64 changes Mosaic lowering in ways interpret mode
+        # cannot catch (i64 fori counters, floor_divide recursion, i64
+        # index-map constants, i64 dynamic_rotate shifts — each broke the
+        # compiled kernel once); certify the compiled path under x64 too.
+        # Must be set before JAX initializes, hence before anything else.
+        sys.argv.remove("--x64")
+        jax.config.update("jax_enable_x64", True)
 
     enable_compilation_cache()
     from strange_attractor_tpu.ops import kernel_binning as kb
