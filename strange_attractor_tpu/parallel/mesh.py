@@ -228,7 +228,10 @@ def render_sequence_sharded(
                 # frame in a device row would replay identical seeds
                 planes = body(jax.random.fold_in(key, local_frame), cs[0], cs[1])
                 st = planes_to_state(planes, strategy, (config.height, config.width))
-                return colorize_planes(config, *state_planes(st))
+                # flat per-frame output: (F, H, W, 4) u16 pads the 4-wide
+                # minor dim to 128 under TPU tiling (32x the bytes — see
+                # render_sequence_batched); host reshapes back
+                return colorize_planes(config, *state_planes(st)).reshape(-1)
 
             return jax.vmap(one)(
                 jnp.stack([cos_f, sin_f], axis=1), jnp.arange(cos_f.shape[0])
@@ -245,4 +248,5 @@ def render_sequence_sharded(
         )
         _SHARDED_CACHE[ckey] = fn
     frames = fn(seed_key(config, key), cos_all, sin_all)
-    return np.asarray(jax.device_get(frames))[:nang]
+    host = np.asarray(jax.device_get(frames))
+    return host.reshape(host.shape[0], config.height, config.width, -1)[:nang]

@@ -605,7 +605,11 @@ def render_sequence_batched(
 
     def one(k, cos_v, sin_v):
         st = planes_to_state(body(k, cos_v, sin_v), strategy, shape)
-        return colorize_planes(config, *state_planes(st))
+        # flatten on device: a (F, H, W, 4) u16 output forces TPU's
+        # (8, 128) tiling to pad the 4-wide minor dim to 128 lanes — 32x
+        # the frame bytes (a 60-frame 1080p batch tried to allocate 32 GB);
+        # as (F, H*W*4) the minor dim tiles compactly. Host reshapes back.
+        return colorize_planes(config, *state_planes(st)).reshape(-1)
 
     fn = jax.jit(jax.vmap(one))
 
@@ -622,7 +626,7 @@ def render_sequence_batched(
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(lo, hi))
         imgs = fn(keys, jnp.asarray(np.cos(rad[lo:hi]), dt), jnp.asarray(np.sin(rad[lo:hi]), dt))
         out.append(np.asarray(jax.device_get(imgs)))
-    return np.concatenate(out, axis=0)
+    return np.concatenate(out, axis=0).reshape(len(angles), *shape, -1)
 
 
 def render_sequence(

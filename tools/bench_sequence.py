@@ -56,10 +56,12 @@ def main() -> None:
 
     def one(k, cos_v, sin_v):
         st = planes_to_state(body(k, cos_v, sin_v), strategy, shape)
-        return colorize_planes(cfg, *state_planes(st))
+        # flat frames, like render_sequence_batched: (F,H,W,4) u16 output
+        # pads the minor dim 4 -> 128 under TPU tiling (32 GB at F=60)
+        return colorize_planes(cfg, *state_planes(st)).reshape(-1)
 
     fn = jax.jit(jax.vmap(one))
-    fpb = _auto_frames_per_batch(cfg, strategy)
+    fpb = int(os.environ.get("SEQ_FPB", "0")) or _auto_frames_per_batch(cfg, strategy)
     dt = _dtype(cfg)
     base = seed_key(cfg)
     angles = np.linspace(0.0, 360.0, frames, endpoint=False)
@@ -87,9 +89,9 @@ def main() -> None:
 
     # one-frame fetch cost, measured separately (u16 RGBA deliverable)
     t0 = time.perf_counter()
-    host = fetch_image(last[-1])
+    host = fetch_image(last[-1]).reshape(1080, 1920, 4)
     fetch_s = time.perf_counter() - t0
-    assert host.shape == (1080, 1920, 4) and host.max() > 0
+    assert host.max() > 0
 
     total_iters = frames * per_frame
     print(json.dumps({
