@@ -176,6 +176,8 @@ def render_sequence_sharded(
     devices=None,
     key=None,
     frame_axis: int = 0,
+    transparent: bool = True,
+    eight_bit: bool = False,
 ):
     """Shard an animation over a 2D (frames, lanes) mesh.
 
@@ -189,6 +191,7 @@ def render_sequence_sharded(
     """
     from ..render import plan_schedule, seed_key
     from ..ops.colorize import colorize_planes, state_planes
+    from ..utils.export import convert_format_device, fetch_image
 
     devices = list(devices) if devices is not None else jax.devices()
     ndev = len(devices)
@@ -213,7 +216,7 @@ def render_sequence_sharded(
 
     ckey = _sharded_cache_key(
         config, strategy, lanes_local, chunk_steps, nchunks, devices,
-        ("frames", frame_axis, len(angles)),
+        ("frames", frame_axis, len(angles), transparent, eight_bit),
     )
     fn = _SHARDED_CACHE.get(ckey)
     if fn is None:
@@ -228,10 +231,12 @@ def render_sequence_sharded(
                 # frame in a device row would replay identical seeds
                 planes = body(jax.random.fold_in(key, local_frame), cs[0], cs[1])
                 st = planes_to_state(planes, strategy, (config.height, config.width))
-                # flat per-frame output: (F, H, W, 4) u16 pads the 4-wide
-                # minor dim to 128 under TPU tiling (32x the bytes — see
+                img = colorize_planes(config, *state_planes(st))
+                # deliverable conversion on device + flat per-frame output:
+                # a (F, H, W, 4) u16 batch pads the 4-wide minor dim to 128
+                # under TPU tiling (32x the bytes — see
                 # render_sequence_batched); host reshapes back
-                return colorize_planes(config, *state_planes(st)).reshape(-1)
+                return convert_format_device(img, transparent, eight_bit).reshape(-1)
 
             return jax.vmap(one)(
                 jnp.stack([cos_f, sin_f], axis=1), jnp.arange(cos_f.shape[0])
@@ -248,5 +253,6 @@ def render_sequence_sharded(
         )
         _SHARDED_CACHE[ckey] = fn
     frames = fn(seed_key(config, key), cos_all, sin_all)
-    host = np.asarray(jax.device_get(frames))
+    # u32-bitcast fast path; gathers the sharded result like device_get
+    host = fetch_image(frames)
     return host.reshape(host.shape[0], config.height, config.width, -1)[:nang]

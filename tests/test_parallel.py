@@ -158,6 +158,45 @@ def test_render_sequence_batched_single_device():
     np.testing.assert_array_equal(f2[0], frames[0])
 
 
+def test_sequence_device_conversion_matches_host():
+    """Device-side deliverable conversion (transparent/eight_bit kwargs) is
+    bit-identical to fetching u16 RGBA and converting on host — the sequence
+    fetch optimization must not change any written byte."""
+    from strange_attractor_tpu.render import render_sequence_batched
+    from strange_attractor_tpu.utils.export import convert_format
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=20_000, lanes=64, chunk_steps=32, seed=8,
+    )
+    angles = [0.0, 120.0]
+    raw = render_sequence_batched(cfg, angles)
+    assert raw.dtype == np.uint16 and raw.shape[-1] == 4
+    for transparent, eight_bit in ((False, True), (True, True), (False, False)):
+        conv = render_sequence_batched(
+            cfg, angles, transparent=transparent, eight_bit=eight_bit
+        )
+        for f_raw, f_conv in zip(raw, conv):
+            np.testing.assert_array_equal(
+                f_conv, convert_format(f_raw, transparent, eight_bit)
+            )
+
+
+def test_sequence_sharded_device_conversion(cpu_devices):
+    """The sharded frames x lanes path honors the same conversion kwargs."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=20_000, lanes=128, chunk_steps=32, seed=6,
+    )
+    angles = [0.0, 90.0, 180.0]
+    raw = render_sequence_sharded(cfg, angles, cpu_devices)
+    conv = render_sequence_sharded(cfg, angles, cpu_devices,
+                                   transparent=False, eight_bit=True)
+    assert conv.shape == (3, 27, 48, 3) and conv.dtype == np.uint8
+    from strange_attractor_tpu.utils.export import convert_format
+
+    for f_raw, f_conv in zip(raw, conv):
+        np.testing.assert_array_equal(f_conv, convert_format(f_raw, False, True))
+
+
 def test_render_parallel_single_device_path(monkeypatch):
     """render_parallel with one device equals render_frame (reference parity
     entry point, src/lib.rs:1051); jobs_per_thread is accepted and ignored."""
