@@ -36,18 +36,11 @@ BASELINE_ITERS_PER_SEC = 5e8
 
 
 def main() -> None:
+    from strange_attractor_tpu.utils.profiling import force_cpu_if_requested
+
+    force_cpu_if_requested()
+
     import jax
-
-    if "cpu" in (os.environ.get("JAX_PLATFORMS", ""),
-                 os.environ.get("JAX_PLATFORM_NAME", "")):
-        # An explicit CPU request must never touch the tunneled TPU plugin:
-        # during a tunnel outage its backend init hangs indefinitely, and the
-        # env vars alone do not stop jax from initializing it (measured —
-        # JAX_PLATFORM_NAME=cpu only wins the *choice* after every platform
-        # initialized). Forcing via jax.config skips axon entirely, which is
-        # what the CPU contract test wants.
-        jax.config.update("jax_platforms", "cpu")
-
     import numpy as np
 
     from strange_attractor_tpu import colorize, presets, render

@@ -294,17 +294,9 @@ def _output_base(args) -> Path:
 
 
 def main(argv=None) -> int:
-    import os
+    from .utils.profiling import force_cpu_if_requested
 
-    if "cpu" in (os.environ.get("JAX_PLATFORMS", ""),
-                 os.environ.get("JAX_PLATFORM_NAME", "")):
-        # honor an explicit CPU request BEFORE any backend touch: the env
-        # vars alone let jax initialize every registered plugin first, and
-        # the tunneled TPU plugin's init hangs indefinitely during a tunnel
-        # outage (same recipe as bench.py / __graft_entry__.py)
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
 
     parser = build_parser()
     args = parser.parse_args(argv)

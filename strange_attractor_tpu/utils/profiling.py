@@ -60,6 +60,27 @@ class RenderProfile:
         return " ".join(parts)
 
 
+def force_cpu_if_requested() -> bool:
+    """Honor an explicit CPU platform request BEFORE any backend touch.
+
+    ``JAX_PLATFORMS=cpu`` / ``JAX_PLATFORM_NAME=cpu`` only win the platform
+    *choice* after jax initializes every registered plugin — and the
+    tunneled TPU plugin's init hangs indefinitely during a tunnel outage
+    (measured round 3). Forcing through ``jax.config`` skips the TPU plugin
+    entirely. Must run before the first ``jax.devices()`` /
+    ``default_backend()`` call; returns True when CPU was forced.
+    """
+    import os
+
+    if "cpu" not in (os.environ.get("JAX_PLATFORMS", ""),
+                     os.environ.get("JAX_PLATFORM_NAME", "")):
+        return False
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return True
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Point JAX at a persistent on-disk compilation cache.
 

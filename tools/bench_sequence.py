@@ -38,8 +38,11 @@ def main() -> None:
         _auto_frames_per_batch, _canvas_body, _dtype, plan_schedule, seed_key,
     )
     from strange_attractor_tpu.utils.export import fetch_image
-    from strange_attractor_tpu.utils.profiling import enable_compilation_cache
+    from strange_attractor_tpu.utils.profiling import (
+        enable_compilation_cache, force_cpu_if_requested,
+    )
 
+    force_cpu_if_requested()
     enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
     frames = int(float(os.environ.get("SEQ_FRAMES", "120" if on_tpu else "4")))
@@ -93,6 +96,21 @@ def main() -> None:
     fetch_s = time.perf_counter() - t0
     assert host.max() > 0
 
+    # true end-to-end for the delivered sequence: render + device-side
+    # 8-bit RGB conversion + host fetch of EVERY frame (the CLI sequence
+    # path with -8). On the tunneled dev platform this is link-dominated
+    # (~6 MB/frame); reported separately from the device metric above so
+    # both the renderer and the delivery pipeline have honest numbers.
+    from strange_attractor_tpu.render import render_sequence_batched
+
+    t0 = time.perf_counter()
+    imgs8 = render_sequence_batched(
+        cfg, angles, frames_per_batch=fpb, transparent=False, eight_bit=True
+    )
+    e2e_s = time.perf_counter() - t0
+    assert imgs8.shape == (frames, 1080, 1920, 3) and imgs8.dtype == np.uint8
+    assert imgs8[-1].max() > 0
+
     total_iters = frames * per_frame
     print(json.dumps({
         "metric": "sequence frames/sec/chip (device render+colorize)",
@@ -104,6 +122,9 @@ def main() -> None:
         "device_s": round(device_s, 3),
         "iters_per_sec": round(total_iters / device_s, 1),
         "fetch_s_per_frame_u16rgba": round(fetch_s, 3),
+        "e2e_8bit_s": round(e2e_s, 3),
+        "e2e_frames_per_sec": round(frames / e2e_s, 3),
+        "e2e_fetched_mb": round(imgs8.nbytes / 1e6, 1),
         "device": str(jax.devices()[0]),
     }))
 

@@ -33,8 +33,11 @@ def main() -> int:
     )
     from strange_attractor_tpu.models import presets
     from strange_attractor_tpu.render import plan_schedule, precompile, render
-    from strange_attractor_tpu.utils.profiling import enable_compilation_cache, hard_sync
+    from strange_attractor_tpu.utils.profiling import (
+        enable_compilation_cache, force_cpu_if_requested, hard_sync,
+    )
 
+    force_cpu_if_requested()
     enable_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
     if len(sys.argv) > 1:
