@@ -631,12 +631,20 @@ def render_sequence_batched(
     dt = _dtype(config)
     base = seed_key(config, key)
     out = []
+    pending = None
     for lo in range(0, len(angles), frames_per_batch):
         hi = min(lo + frames_per_batch, len(angles))
         keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(lo, hi))
         imgs = fn(keys, jnp.asarray(np.cos(rad[lo:hi]), dt), jnp.asarray(np.sin(rad[lo:hi]), dt))
-        # u32-bitcast fast path: narrow-dtype fetches run ~2.7x slower
-        out.append(fetch_image(imgs))
+        # dispatches are async: batch N+1 is enqueued before batch N's
+        # frames are pulled to host, so the device renders through each
+        # fetch instead of idling (u32-bitcast fast path: narrow-dtype
+        # fetches run ~2.7x slower). Holds at most two batches of
+        # converted frames on device (~6 MB/frame for the 8-bit case).
+        if pending is not None:
+            out.append(fetch_image(pending))
+        pending = imgs
+    out.append(fetch_image(pending))
     return np.concatenate(out, axis=0).reshape(len(angles), *shape, -1)
 
 
