@@ -428,9 +428,22 @@ def main(argv=None) -> int:
 def _render_one(args, config, render_mod, angle_rad):
     import jax
 
+    from .utils.export import convert_format_device, fetch_image
+
     if args.single_device or len(jax.devices()) <= 1:
-        return render_mod.render_frame(config, angle=angle_rad)
-    return render_mod.render_parallel(config.replace(angle=angle_rad))
+        state = render_mod.render(config, None, angle=angle_rad)
+    else:
+        from .parallel.mesh import render_sharded
+
+        state = render_sharded(config.replace(angle=angle_rad), key=None)
+    # same device-side deliverable conversion + u32-bitcast fetch as the
+    # single-frame path (_render_stateful): the per-frame sequence loop
+    # otherwise hauls 16.6 MB of raw u16 RGBA per frame over the link
+    return fetch_image(
+        convert_format_device(
+            render_mod.colorize(config, state), args.transparent, args.eight_bit
+        )
+    )
 
 
 def _render_stateful(args, config, render_mod, state):
