@@ -189,6 +189,41 @@ class Rossler(_RK4Ode):
         ).tobytes()
 
 
+def _sin(v):
+    """``sin`` that works for both numpy arrays (oracle) and jax tracers.
+
+    ``np.sin`` on a jax tracer raises ``TracerArrayConversionError``, so the
+    shared RK4 derivative dispatches on the operand type instead.
+    """
+    if isinstance(v, (np.ndarray, np.generic)):
+        return np.sin(v)
+    import jax.numpy as jnp
+
+    return jnp.sin(v)
+
+
+@dataclasses.dataclass(frozen=True)
+class Thomas(_RK4Ode):
+    """Thomas' cyclically symmetric attractor (Thomas 1999):
+    dx=sin(y)-b*x (and cyclic permutations); b=0.208186 is the classic
+    chaotic set. The only transcendental map in the family — it exercises
+    non-polynomial derivatives through the shared RK4 path (the reference's
+    open-trait extension point, src/lib.rs:562-564).
+    """
+
+    b: float = 0.208186
+    dt: float = 0.1
+
+    def _deriv_xyz(self, x, y, z):
+        dx = _sin(y) - self.b * x
+        dy = _sin(z) - self.b * y
+        dz = _sin(x) - self.b * z
+        return dx, dy, dz
+
+    def fingerprint(self) -> bytes:
+        return b"thomas:" + np.asarray([self.b, self.dt], np.float64).tobytes()
+
+
 @dataclasses.dataclass(frozen=True)
 class Halvorsen(_RK4Ode):
     """Halvorsen's cyclically symmetric attractor:

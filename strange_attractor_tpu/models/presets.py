@@ -11,7 +11,7 @@ import math
 
 from ..config import Config, View
 from ..ops.projection import EulerAxisRotation
-from .attractors import Halvorsen, Lorenz, PolynomialSprott2Degree, Rossler
+from .attractors import Halvorsen, Lorenz, PolynomialSprott2Degree, Rossler, Thomas
 from .transforms import AdjustedVelocity, poisson_saturne_transform
 
 PRESET_NAMES = (
@@ -20,6 +20,7 @@ PRESET_NAMES = (
     "lorenz",
     "rossler",
     "halvorsen",
+    "thomas",
     "aurora-veil",
     "orchid-ribbon",
     "delta-kite",
@@ -189,6 +190,33 @@ def halvorsen(**overrides) -> Config:
     )
 
 
+def thomas(**overrides) -> Config:
+    """Thomas' cyclically symmetric knot (continuous-time, transcendental;
+    NOT in the reference).
+
+    The system is multistable at b=0.208186: symmetry-related attractor
+    copies coexist, and the render's reference-mandated lane seeding in
+    [0, 0.1)^3 lands every lane on the same copy (raw bbox ~[-1.12, 3.82]^3,
+    NOT the symmetric union a wide seeding would fill). Framed numerically
+    for that basin with the same off-axis tilt as :func:`halvorsen`
+    (rotated bbox sx [-0.87, 4.12], sy [-2.41, 3.15]; the 16:9 screen-y
+    extent binds: scale = 0.5625/5.55 / 1.12). The orbit's x–z radius about
+    the camera center is 3.02 < 0.5/scale, so full-turn sequences stay in
+    frame.
+    """
+    view = View(
+        center_camera=(-1.62447, -0.49136, -0.36847),
+        rotation=EulerAxisRotation(axis=(1.0, 1.0, 0.0), rotation=0.6, normalize=True),
+        scale=0.09045,
+    )
+    return Config(
+        attractor=Thomas(),
+        view=view,
+        color_transform=AdjustedVelocity(offset=-0.005, factor=6.0),
+        **overrides,
+    )
+
+
 # ---- discovered second-degree Sprott maps -------------------------------
 #
 # The reference's extension story is "implement the Attractor trait with
@@ -276,6 +304,7 @@ _BY_NAME = {
     "lorenz": lorenz,
     "rossler": rossler,
     "halvorsen": halvorsen,
+    "thomas": thomas,
     "aurora-veil": aurora_veil,
     "orchid-ribbon": orchid_ribbon,
     "delta-kite": delta_kite,

@@ -120,7 +120,7 @@ def test_config_validation():
         presets.poisson_saturne(warmup=-5)
 
 
-@pytest.mark.parametrize("name", ["rossler", "halvorsen"])
+@pytest.mark.parametrize("name", ["rossler", "halvorsen", "thomas"])
 def test_ode_presets_render_in_frame(name):
     """The new continuous-time presets stay bounded and framed."""
     import jax
@@ -138,7 +138,7 @@ def test_ode_presets_render_in_frame(name):
     assert img[..., :3].max() > 0
 
 
-@pytest.mark.parametrize("cls_name", ["Rossler", "Halvorsen", "Lorenz"])
+@pytest.mark.parametrize("cls_name", ["Rossler", "Halvorsen", "Lorenz", "Thomas"])
 def test_rk4_step_xyz_matches_stacked(cls_name):
     """Component-form step (hot path) == stacked protocol step == numpy."""
     from strange_attractor_tpu.models import attractors
