@@ -194,25 +194,26 @@ def thomas(**overrides) -> Config:
     """Thomas' cyclically symmetric knot (continuous-time, transcendental;
     NOT in the reference).
 
-    The system is multistable at b=0.208186: symmetry-related attractor
-    copies coexist, and the render's reference-mandated lane seeding in
-    [0, 0.1)^3 lands every lane on the same copy (raw bbox ~[-1.12, 3.82]^3,
-    NOT the symmetric union a wide seeding would fill). Framed numerically
-    for that basin with the same off-axis tilt as :func:`halvorsen`
-    (rotated bbox sx [-0.87, 4.12], sy [-2.41, 3.15]; the 16:9 screen-y
-    extent binds: scale = 0.5625/5.55 / 1.12). The orbit's x–z radius about
-    the camera center is 3.02 < 0.5/scale, so full-turn sequences stay in
-    frame.
+    Uses b=0.18 rather than the oft-quoted b=0.208186: the latter sits at
+    the edge of the chaotic window (Benettin LLE ≈ 0.004-0.013 under the
+    production RK4, and the [0, 0.1)^3 lane seeding then collapses onto one
+    thin symmetry-broken ribbon), while b=0.18 is robustly chaotic
+    (LLE ≈ 0.036, stable across dt=0.05/0.1) and fills the full
+    inversion-symmetric knot, raw bbox ±4.23^3. Framed numerically with the
+    same off-axis tilt as :func:`halvorsen` (rotated bbox sx ±4.30,
+    sy ±3.51; the 16:9 screen-y extent binds: scale = 0.5625/7.02 / 1.12).
+    The orbit's x–z radius is 4.65 < 0.5/scale = 6.98, so full-turn
+    sequences stay in frame.
     """
     view = View(
-        center_camera=(-1.62447, -0.49136, -0.36847),
+        center_camera=(0.0, 0.0, 0.0),
         rotation=EulerAxisRotation(axis=(1.0, 1.0, 0.0), rotation=0.6, normalize=True),
-        scale=0.09045,
+        scale=0.07159,
     )
     return Config(
-        attractor=Thomas(),
+        attractor=Thomas(b=0.18),
         view=view,
-        color_transform=AdjustedVelocity(offset=-0.005, factor=6.0),
+        color_transform=AdjustedVelocity(offset=-0.005, factor=5.5),
         **overrides,
     )
 
