@@ -35,10 +35,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_ITERS_PER_SEC = 5e8
 
 
+def _probe_backend(timeout_s: float = 600.0):
+    """Initialize the JAX backend with a hard deadline.
+
+    During a tunnel outage the axon TPU plugin's init hangs *forever* (no
+    env var prevents it — jax inits every plugin before choosing a
+    platform, CLAUDE.md round-3 learnings). A bench that hangs records
+    nothing; a bench that emits an explicit outage marker records the
+    outage. The probe runs ``jax.devices()`` on a daemon thread; its result
+    is process-cached, so the main thread's subsequent use is instant.
+    """
+    import threading
+
+    out: list = []
+
+    def probe():
+        import jax
+
+        out.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "map iterations/sec/chip",
+                    "value": 0,
+                    "unit": "iters/s",
+                    "vs_baseline": 0.0,
+                    "error": f"backend init exceeded {timeout_s:.0f}s "
+                             "(TPU tunnel outage); no measurement taken",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+    return out[0]
+
+
 def main() -> None:
     from strange_attractor_tpu.utils.profiling import force_cpu_if_requested
 
     force_cpu_if_requested()
+    _probe_backend()
 
     import jax
     import numpy as np
