@@ -54,7 +54,15 @@ def _probe_backend(timeout_s: float = 600.0):
 
         out.append(jax.devices())
 
-    t = threading.Thread(target=probe, daemon=True)
+    err: list = []
+
+    def run():
+        try:
+            probe()
+        except BaseException as e:  # surface fast-failing plugins, not IndexError
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
     t.start()
     t.join(timeout_s)
     if t.is_alive():
@@ -72,6 +80,8 @@ def _probe_backend(timeout_s: float = 600.0):
             flush=True,
         )
         os._exit(1)
+    if err:
+        raise err[0]
     return out[0]
 
 

@@ -284,10 +284,18 @@ class Config:
         # sweep: 170 -> 175-177M iters/s); the XLA scatter fallbacks peak at
         # ~1M (smaller flushes keep the scatter pipeline dense). Key the
         # choice on the *resolved* strategy: AUTO resolves to a scatter path
-        # off-TPU and must get the scatter optimum there.
-        import jax
+        # off-TPU and must get the scatter optimum there. Touch the backend
+        # ONLY for that AUTO case: jax.default_backend() initializes the
+        # backend, which hangs indefinitely during a TPU-tunnel outage, so
+        # an explicit bin_strategy keeps Config fully backend-free (callers
+        # that must stay backend-free with AUTO should set chunk_steps or a
+        # concrete strategy).
+        if self.bin_strategy is BinStrategy.AUTO:
+            import jax
 
-        resolved = self.resolved_bin_strategy(jax.default_backend())
+            resolved = self.resolved_bin_strategy(jax.default_backend())
+        else:
+            resolved = self.bin_strategy
         scatter = (BinStrategy.PACKED, BinStrategy.EXACT, BinStrategy.DEPTH)
         buf = 1 << 20 if resolved in scatter else 1 << 22
         return max(1, min(512, buf // lanes))

@@ -227,11 +227,15 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
             # under jax_enable_x64 (as does a python-int fori bound); both
             # are equal here since crow >= 0
             wmin = lax.div(jnp.min(crow), jnp.int32(W))
-            # clamp the sweep to real windows: sentinel points in a mixed
-            # boundary row contribute only to the garbage window (sliced
-            # away), so walking up to it is pure waste
-            wmax = jnp.minimum(lax.div(jnp.max(crow), jnp.int32(W)),
-                               jnp.int32(n_win - 2))
+            # clamp the sweep to the row's REAL windows: sentinel points
+            # contribute only to the garbage window (sliced away), so mask
+            # them out of the max — a mixed real/sentinel boundary row then
+            # stops at its real top window instead of sweeping every empty
+            # window up to the canvas top. A general row always has >= 1
+            # real point (all-sentinel rows take the uniform path), so the
+            # masked max is >= wmin.
+            wmax = lax.div(jnp.max(jnp.where(fi == sent, jnp.int32(-1), crow)),
+                           jnp.int32(W))
             maski = mask.astype(jnp.int32)
             svals = []  # (1, rl) per-point byte values -128, winner-masked
             for ref in payload_refs:
@@ -458,10 +462,11 @@ def _run_apply(sorted_arrays, S, R_s, rl, alloc_rows, *, first, flush_fn, n_out,
     )(*sorted_arrays)
 
 
-@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret", "window"))
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret",
+                                             "window", "flood_gate"))
 def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
                      section: int = DEFAULT_SECTION, interpret: bool = False,
-                     window: int = WINDOW_ROWS):
+                     window: int = WINDOW_ROWS, flood_gate: bool = True):
     """PACKED-semantics accumulation of one point chunk (KERNEL strategy).
 
     ``count``/``packed`` are the standard flattened (npix,) planes. ``flat``
@@ -481,6 +486,13 @@ def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
     flagship renders, so quiet chunks take a branch that is op-identical to
     the ungated pipeline. Bit-exact either way, for any pixel-0 point,
     flood or legitimate.
+
+    ``flood_gate=False`` evicts UNCONDITIONALLY (still bit-exact): under
+    ``vmap`` (the batched sequence paths) a data-dependent ``lax.cond``
+    lowers to ``select_n`` and executes BOTH branches — two full
+    sort+apply pipelines per chunk per frame — so vmapped callers must
+    pick one branch statically, and always-evict costs only the two
+    pixel-0 reductions.
     """
     is0 = flat == 0
     n0 = jnp.sum(is0, dtype=jnp.uint32)
@@ -507,6 +519,8 @@ def bin_chunk_kernel(count, packed, flat, packed_update, *, npix: int,
     def plain(_):
         return run(flat)
 
+    if not flood_gate:
+        return evicted(None)
     return lax.cond(n0 > jnp.uint32(max(1, flat.size // 64)), evicted, plain, None)
 
 
@@ -662,10 +676,11 @@ def bin_chunk_kernel_exact16(count, steps, zbuf, flat, z, val, *, npix: int,
     return count, steps, zbuf
 
 
-@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret", "window"))
+@functools.partial(jax.jit, static_argnames=("npix", "section", "interpret",
+                                             "window", "flood_gate"))
 def bin_chunk_kernel_depth(zbuf, flat, z, *, npix: int,
                            section: int = DEFAULT_SECTION, interpret: bool = False,
-                           window: int = WINDOW_ROWS):
+                           window: int = WINDOW_ROWS, flood_gate: bool = True):
     """DEPTH-semantics accumulation through the sort-bin pipeline.
 
     A depth render needs only the per-pixel max z (src/lib.rs:875-899 reads
@@ -711,4 +726,8 @@ def bin_chunk_kernel_depth(zbuf, flat, z, *, npix: int,
     def plain(_):
         return run(flat, lambda d: d)
 
+    if not flood_gate:
+        # vmapped callers: a batched cond would run BOTH pipelines
+        # (see bin_chunk_kernel); always-evict is bit-exact
+        return evicted(None)
     return lax.cond(n0 > jnp.uint32(max(1, flat.size // 64)), evicted, plain, None)

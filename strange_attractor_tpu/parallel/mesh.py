@@ -89,13 +89,16 @@ def merge_collective(planes: tuple, strategy: BinStrategy, axis: str) -> tuple:
 
 
 def _local_render_fn(
-    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int, axis: str
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int,
+    axis: str, *, vmapped: bool = False
 ):
     """Build the per-device render body (runs inside ``shard_map``): a plain
-    single-canvas render with a device-unique key, merged collectively."""
+    single-canvas render with a device-unique key, merged collectively.
+    ``vmapped=True`` when the body is additionally vmapped over frames
+    (render_sequence_sharded) — see render._bin_fn's flood-gate note."""
     from ..render import _canvas_body
 
-    canvas = _canvas_body(config, strategy, lanes, chunk_steps, nchunks)
+    canvas = _canvas_body(config, strategy, lanes, chunk_steps, nchunks, vmapped=vmapped)
 
     def body(key, cos_v, sin_v):
         key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -220,7 +223,8 @@ def render_sequence_sharded(
     )
     fn = _SHARDED_CACHE.get(ckey)
     if fn is None:
-        body = _local_render_fn(config, strategy, lanes_local, chunk_steps, nchunks, "lanes")
+        body = _local_render_fn(config, strategy, lanes_local, chunk_steps, nchunks,
+                                "lanes", vmapped=True)
 
         def frames_body(key, cos_f, sin_f):
             key = jax.random.fold_in(key, lax.axis_index("frames"))

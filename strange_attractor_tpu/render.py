@@ -170,11 +170,17 @@ def _reseed_dead_lanes(config: Config, key, cur, prev, age, dt):
     return key, cur, prev, age
 
 
-def _bin_fn(config: Config, strategy: BinStrategy):
+def _bin_fn(config: Config, strategy: BinStrategy, *, vmapped: bool = False):
     """planes, emitted -> planes for one chunk, per strategy. All strategies
     operate on the standard flattened (npix,) planes; the *_KERNEL ones run
     the sort-bin pipeline (:mod:`ops.kernel_binning`) instead of XLA
-    scatters (:mod:`ops.binning`)."""
+    scatters (:mod:`ops.binning`).
+
+    ``vmapped=True`` (the batched sequence paths) disables the runtime
+    pixel-0 flood gate: a batched ``lax.cond`` lowers to ``select_n`` and
+    executes BOTH the evicted and plain pipelines — double the dominant
+    binning cost — so vmapped callers always-evict instead (bit-exact,
+    see :func:`ops.kernel_binning.bin_chunk_kernel`)."""
     if strategy in (BinStrategy.KERNEL, BinStrategy.EXACT_KERNEL,
                     BinStrategy.EXACT16_KERNEL, BinStrategy.DEPTH_KERNEL):
         from .ops import kernel_binning as kb
@@ -191,6 +197,8 @@ def _bin_fn(config: Config, strategy: BinStrategy):
         kwargs = dict(npix=npix, section=section, interpret=interpret)
         if strategy is BinStrategy.EXACT16_KERNEL:
             kwargs["ties"] = config.exact16_ties
+        if vmapped and strategy in (BinStrategy.KERNEL, BinStrategy.DEPTH_KERNEL):
+            kwargs["flood_gate"] = False
         window = config.kernel_window
         if (window is None
                 and strategy in (BinStrategy.KERNEL, BinStrategy.EXACT16_KERNEL,
@@ -509,11 +517,14 @@ def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: 
 
 
 def _canvas_body(
-    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int,
+    *, vmapped: bool = False
 ):
     """One full single-canvas render as a pure function
     ``(key, cos, sin) -> accumulator planes`` — the unit that gets vmapped
-    over frames and shard_mapped over devices. ``chunk_steps`` must come from
+    over frames and shard_mapped over devices. Callers that vmap it MUST
+    pass ``vmapped=True`` (see :func:`_bin_fn`: a batched flood-gate cond
+    executes both pipelines). ``chunk_steps`` must come from
     the same :func:`plan_schedule` as ``nchunks`` (it clamps for small
     iteration counts)."""
     cam = camera_params(config.view, 0.0, config.width, config.height)
@@ -543,7 +554,7 @@ def _canvas_body(
                 jnp.zeros((npix,), jnp.float32),
                 jnp.full((npix,), -1.0, jnp.float32),
             )
-        bin_planes = _bin_fn(config, strategy)
+        bin_planes = _bin_fn(config, strategy, vmapped=vmapped)
 
         def chunk(carry, _):
             planes, cur, prev, age, rkey = carry
@@ -609,7 +620,7 @@ def render_sequence_batched(
 
     strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes, chunk_steps, nchunks = plan_schedule(config)
-    body = _canvas_body(config, strategy, lanes, chunk_steps, nchunks)
+    body = _canvas_body(config, strategy, lanes, chunk_steps, nchunks, vmapped=True)
     shape = (config.height, config.width)
 
     def one(k, cos_v, sin_v):

@@ -503,3 +503,63 @@ def test_exact_kernel_pixel0_flood():
     np.testing.assert_array_equal(np.asarray(cnt), ec.astype(np.uint32))
     np.testing.assert_array_equal(np.asarray(zb), ez)
     np.testing.assert_array_equal(np.asarray(st), es)
+
+
+def test_kernel_flood_gate_off_bit_exact():
+    """flood_gate=False (the vmapped sequence paths) always-evicts and must
+    stay bit-exact on gated-above-threshold, below-threshold, and zero-flood
+    streams alike."""
+    npix = 128 * 128
+    rng = np.random.default_rng(33)
+    n = 1 << 12
+    for flood_frac in (0.0, 0.01, 0.4):
+        flat = rng.integers(1, npix, n).astype(np.int32)
+        if flood_frac:
+            flat[rng.random(n) < flood_frac] = 0
+        packed = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        cnt, pk = kb.bin_chunk_kernel(
+            jnp.zeros((npix,), jnp.uint32), jnp.zeros((npix,), jnp.uint32),
+            jnp.asarray(flat), jnp.asarray(packed),
+            npix=npix, section=1 << 10, interpret=True, flood_gate=False,
+        )
+        want_c, want_p = _reference(npix, flat, packed)
+        np.testing.assert_array_equal(np.asarray(cnt), want_c)
+        np.testing.assert_array_equal(np.asarray(pk), want_p)
+
+
+def test_vmapped_bin_runs_single_pipeline():
+    """Under vmap a data-dependent lax.cond lowers to select_n and executes
+    BOTH branches; the sequence paths must therefore bin with the static
+    always-evict variant. Guard: the vmapped jaxpr of the flood_gate=False
+    kernel contains exactly ONE sort, and no cond/select over a second
+    pipeline (the gated variant under vmap shows two sorts)."""
+    import jax
+
+    npix = 64 * 64
+    n = 1 << 10
+
+    def binned(gate):
+        def f(flat, packed):
+            return kb.bin_chunk_kernel(
+                jnp.zeros((npix,), jnp.uint32), jnp.zeros((npix,), jnp.uint32),
+                flat, packed, npix=npix, section=256, interpret=True,
+                flood_gate=gate,
+            )
+        return jax.make_jaxpr(jax.vmap(f))(
+            jnp.zeros((3, n), jnp.int32), jnp.zeros((3, n), jnp.uint32)
+        )
+
+    def count_sorts(jaxpr):
+        total = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "sort":
+                total += 1
+            for v in eqn.params.values():
+                for sub in jax.core.jaxprs_in_params({"_": v}):
+                    total += count_sorts(sub)
+        return total
+
+    fast = count_sorts(binned(False).jaxpr)
+    slow = count_sorts(binned(True).jaxpr)
+    assert fast == 1, f"always-evict path must sort once, saw {fast}"
+    assert slow >= 2, f"expected the gated vmap path to duplicate work, saw {slow}"

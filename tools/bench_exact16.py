@@ -3,15 +3,14 @@
     python tools/bench_exact16.py [iters] [earliest|value]
 
 Runs the full render() path (map + sort + apply + merge) with the chosen
-bucket-tie discipline; "value" is patched in at the module level so the
-whole pipeline is otherwise identical. Prints one JSON row like
+bucket-tie discipline via ``Config.exact16_ties`` (the same switch the CLI's
+``--exact16-ties`` flag sets). Prints one JSON row like
 tools/bench_strategies.py. Used for the round-3 EXACT16 design decision
 (docs/KERNEL_NOTES.md).
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
@@ -27,19 +26,16 @@ def main() -> int:
     from strange_attractor_tpu.models import presets
     from strange_attractor_tpu.render import plan_schedule, precompile, render
     from strange_attractor_tpu.utils.profiling import enable_compilation_cache, hard_sync
-    from strange_attractor_tpu.ops import kernel_binning as kb
 
     enable_compilation_cache()
     iters = int(float(sys.argv[1])) if len(sys.argv) > 1 else int(1e9)
     ties = sys.argv[2] if len(sys.argv) > 2 else "earliest"
-    if ties != "earliest":
-        orig = kb.bin_chunk_kernel_exact16
-        kb.bin_chunk_kernel_exact16 = functools.partial(orig, ties=ties)
 
     cfg = presets.poisson_saturne(
         iterations=iters, width=1920, height=1080,
         colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
         seed=0, silent=True, bin_strategy=BinStrategy.EXACT16_KERNEL,
+        exact16_ties=ties,
     )
     lanes, chunk, nchunks = plan_schedule(cfg)
     executed = lanes * chunk * nchunks
