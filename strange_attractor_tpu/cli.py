@@ -389,10 +389,14 @@ def main(argv=None) -> int:
                 from .utils.export import convert_format, write_apng
 
                 if images is None:
+                    import jax
+
+                    base_key = render_mod.seed_key(config)
                     images = [
                         _render_one(args, config, render_mod,
-                                    angle_rad=float(np.radians(a)))
-                        for a, _ in frames
+                                    angle_rad=float(np.radians(a)),
+                                    key=jax.random.fold_in(base_key, i))
+                        for i, (a, _) in enumerate(frames)
                     ]
                 stack = np.stack(
                     [convert_format(im, args.transparent, args.eight_bit) for im in images]
@@ -404,9 +408,17 @@ def main(argv=None) -> int:
                 for (angle_deg, out_path), image in zip(frames, images):
                     write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
             else:
-                for angle_deg, out_path in frames:
+                import jax
+
+                # fold the frame index into one base key: a seeded config
+                # would otherwise replay identical trajectories every frame
+                # (matches render_sequence_batched's per-frame fold)
+                base_key = render_mod.seed_key(config)
+                for i, (angle_deg, out_path) in enumerate(frames):
                     image = _render_one(
-                        args, config, render_mod, angle_rad=float(np.radians(angle_deg))
+                        args, config, render_mod,
+                        angle_rad=float(np.radians(angle_deg)),
+                        key=jax.random.fold_in(base_key, i),
                     )
                     write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
         else:
@@ -425,17 +437,17 @@ def main(argv=None) -> int:
     return 0
 
 
-def _render_one(args, config, render_mod, angle_rad):
+def _render_one(args, config, render_mod, angle_rad, key=None):
     import jax
 
     from .utils.export import convert_format_device, fetch_image
 
     if args.single_device or len(jax.devices()) <= 1:
-        state = render_mod.render(config, None, angle=angle_rad)
+        state = render_mod.render(config, None, key, angle=angle_rad)
     else:
         from .parallel.mesh import render_sharded
 
-        state = render_sharded(config.replace(angle=angle_rad), key=None)
+        state = render_sharded(config.replace(angle=angle_rad), key=key)
     # same device-side deliverable conversion + u32-bitcast fetch as the
     # single-frame path (_render_stateful): the per-frame sequence loop
     # otherwise hauls 16.6 MB of raw u16 RGBA per frame over the link
@@ -481,7 +493,7 @@ def _render_stateful(args, config, render_mod, state):
                 # silently overwriting the final output
                 write_image(base.parent / (base.name + "-preview"), img, fmt=fmt,
                             transparent=args.transparent, eight_bit=args.eight_bit,
-                            silent=True)
+                            silent=True, announce=False)
 
         state = render_mod.render(config, state, on_progress=on_progress)
     # convert on device before fetching (2.7x fewer bytes over the device

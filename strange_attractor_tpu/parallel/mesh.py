@@ -95,10 +95,19 @@ def _local_render_fn(
     """Build the per-device render body (runs inside ``shard_map``): a plain
     single-canvas render with a device-unique key, merged collectively.
     ``vmapped=True`` when the body is additionally vmapped over frames
-    (render_sequence_sharded) — see render._bin_fn's flood-gate note."""
+    (render_sequence_sharded) — see render._bin_fn's flood-gate note.
+
+    The config is pinned to the PER-DEVICE schedule before building the
+    body: the sort-bin section rule (section = chunk/8, config.py
+    resolved_kernel_section) must see the local lanes — with the unsplit
+    config an 8-device mesh would size sections for the global 4M-point
+    chunk while each device actually bins 512K-point chunks, running the
+    sort well off its measured operating point (and disagreeing with the
+    _sharded_cache_key fingerprint, which pins the local values)."""
     from ..render import _canvas_body
 
-    canvas = _canvas_body(config, strategy, lanes, chunk_steps, nchunks, vmapped=vmapped)
+    local = config.replace(lanes=lanes, chunk_steps=chunk_steps)
+    canvas = _canvas_body(local, strategy, lanes, chunk_steps, nchunks, vmapped=vmapped)
 
     def body(key, cos_v, sin_v):
         key = jax.random.fold_in(key, lax.axis_index(axis))
@@ -198,6 +207,11 @@ def render_sequence_sharded(
 
     devices = list(devices) if devices is not None else jax.devices()
     ndev = len(devices)
+    if len(angles_deg) == 0:
+        return np.zeros(
+            (0, config.height, config.width, 4 if transparent else 3),
+            np.uint8 if eight_bit else np.uint16,
+        )
     if frame_axis <= 0:
         frame_axis = max(1, min(len(angles_deg), ndev))
     while ndev % frame_axis:

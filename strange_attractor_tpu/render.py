@@ -38,11 +38,8 @@ _KERNEL_CACHE: dict = {}
 # so bigger groups amortize it; smaller groups report progress more often.
 # 64 costs one progress line per ~0.27 s of flagship render.
 DISPATCH_GROUP = 64
-# fallback nonce counters for seeded progressive DEPTH renders, keyed by
-# config fingerprint (see the nonce derivation in :func:`render`)
-import itertools as _itertools
-
-_PROGRESSIVE_NONCES: dict = {}
+# compiled vmapped sequence-batch programs (see render_sequence_batched)
+_BATCHED_CACHE: dict = {}
 
 
 def _dtype(config: Config):
@@ -223,7 +220,7 @@ def _bin_fn(config: Config, strategy: BinStrategy, *, vmapped: bool = False):
     return lambda planes, emitted: binning.bin_chunk_exact(*planes, *emitted)
 
 
-def _state_to_planes(state: RenderState, strategy: BinStrategy, config: Config):
+def _state_to_planes(state: RenderState, strategy: BinStrategy):
     """Flatten a state into the accumulation-plane tuple for ``strategy``."""
     kind = strategy.planes_kind()
     if kind == BinStrategy.PACKED:
@@ -243,6 +240,37 @@ def _planes_to_state(planes, strategy: BinStrategy, shape, copy: bool = False):
     if kind == BinStrategy.DEPTH:
         return RenderState(zbuf=p[0])
     return RenderState(count=p[0], steps=p[1], zbuf=p[2])
+
+
+def _seed_warm(config: Config, lanes: int, dt, key):
+    """Seed U[0,1)^3 * 0.1 then warm up (src/lib.rs:748-752) — the shared
+    trajectory bootstrap of _build_kernels.init and _canvas_body."""
+    step_xyz = as_xyz_step(config.attractor)
+    p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
+    warmed = lax.fori_loop(0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0))
+    return _join_xyz(*warmed)
+
+
+def _chunk_update(config: Config, step, bin_planes, chunk_steps: int, dt,
+                  planes, cur, prev, age, rkey, cos_v, sin_v):
+    """Advance one chunk: optional reseed -> scanned map steps -> bin.
+
+    The single shared chunk body behind _build_kernels.run and
+    _canvas_body (a fix to one used to silently miss the other — the
+    vmapped flood-gate repair had to be threaded through both by hand).
+    unroll=8: per-scan-step fixed overhead dominates the map's cost
+    (~17.6us/step vs ~1us of VPU math at 30k lanes); 8 bodies per
+    iteration cut the map phase ~2x (docs/KERNEL_NOTES.md).
+    """
+    if config.reseed_lanes:
+        rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
+    (x, y, z, px, py, pz, age, _, _), emitted = lax.scan(
+        step, (*_split_xyz(cur), *_split_xyz(prev), age, cos_v, sin_v),
+        None, length=chunk_steps, unroll=8,
+    )
+    cur, prev = _join_xyz(x, y, z), _join_xyz(px, py, pz)
+    planes = bin_planes(planes, tuple(e.reshape(-1) for e in emitted))
+    return planes, cur, prev, age, rkey
 
 
 def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
@@ -266,35 +294,19 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     cam = camera_params(config.view, 0.0, config.width, config.height)
     dt = _dtype(config)
     step = _step_fn(config, cam, strategy)
-    attractor = config.attractor
-
-    step_xyz = as_xyz_step(attractor)
 
     @jax.jit
     def init(key):
-        """Seed U[0,1)^3 * 0.1 then warm up (src/lib.rs:748-752)."""
-        p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
-        warmed = lax.fori_loop(
-            0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0)
-        )
-        return _join_xyz(*warmed)
+        return _seed_warm(config, lanes, dt, key)
 
     bin_planes = _bin_fn(config, strategy)
 
     def chunk(carry, _):
         planes, cur, prev, age, rkey, cos_v, sin_v = carry
-        if config.reseed_lanes:
-            rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
-        # unroll: per-scan-step fixed overhead dominates the map's cost
-        # (~17.6us/step vs ~1us of VPU math at 30k lanes); 8 bodies per
-        # iteration cut the map phase ~2x (docs/KERNEL_NOTES.md)
-        (x, y, z, px, py, pz, age, cos_v, sin_v), emitted = lax.scan(
-            step, (*_split_xyz(cur), *_split_xyz(prev), age, cos_v, sin_v),
-            None, length=chunk_steps, unroll=8,
+        planes, cur, prev, age, rkey = _chunk_update(
+            config, step, bin_planes, chunk_steps, dt,
+            planes, cur, prev, age, rkey, cos_v, sin_v,
         )
-        cur, prev = _join_xyz(x, y, z), _join_xyz(px, py, pz)
-        emitted = tuple(e.reshape(-1) for e in emitted)
-        planes = bin_planes(planes, emitted)
         return (planes, cur, prev, age, rkey, cos_v, sin_v), None
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -392,11 +404,16 @@ def render(
         if state.count is not None:
             nonce = int(jax.device_get(state.count.sum())) & 0xFFFFFFFF
         else:
-            # DEPTH accumulation is idempotent (pure max), so content can
-            # stagnate; fall back to a per-fingerprint call counter
-            nonce = next(
-                _PROGRESSIVE_NONCES.setdefault(config.fingerprint(), _itertools.count(1))
-            )
+            # DEPTH carries no count; hash the z-plane bits instead. Still
+            # purely content-derived: the same starting state gets the same
+            # continuation regardless of call order or process restarts (a
+            # global call counter broke exactly that). Caveat: DEPTH
+            # accumulation is idempotent (pure max), so a progressive call
+            # that updates NO pixel replays the same key next call — but
+            # such a call made zero progress anyway, so the fixed point is
+            # honest.
+            bits = lax.bitcast_convert_type(state.zbuf, jnp.uint32)
+            nonce = int(jax.device_get(jnp.sum(bits, dtype=jnp.uint32))) & 0xFFFFFFFF
         key = jax.random.fold_in(seed_key(config), nonce)
 
     lanes, chunk_steps, nchunks = plan_schedule(config)
@@ -425,7 +442,7 @@ def render(
         _, run = _build_kernels(config, strategy, n)
         return run(planes, cur, prev, age, rkey, cos_v, sin_v)
 
-    planes = _state_to_planes(state, strategy, config)
+    planes = _state_to_planes(state, strategy)
 
     def _partial_state(copy: bool = False):
         # progress callbacks may retain the state past the next dispatch,
@@ -532,13 +549,8 @@ def _canvas_body(
     step = _step_fn(config, cam, strategy)
     npix = config.width * config.height
 
-    step_xyz = as_xyz_step(config.attractor)
-
     def body(key, cos_v, sin_v):
-        p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
-        cur = _join_xyz(
-            *lax.fori_loop(0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0))
-        )
+        cur = _seed_warm(config, lanes, dt, key)
         prev = cur
         age = jnp.zeros((lanes,), jnp.int32)
         rkey = jax.random.fold_in(key, 0x5EED)
@@ -558,16 +570,10 @@ def _canvas_body(
 
         def chunk(carry, _):
             planes, cur, prev, age, rkey = carry
-            if config.reseed_lanes:
-                rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
-            (x, y, z, px, py, pz, age, _, _), emitted = lax.scan(
-                step, (*_split_xyz(cur), *_split_xyz(prev), age, cos_v, sin_v),
-                None, length=chunk_steps, unroll=8,
-            )
-            cur, prev = _join_xyz(x, y, z), _join_xyz(px, py, pz)
-            emitted = tuple(e.reshape(-1) for e in emitted)
-            planes = bin_planes(planes, emitted)
-            return (planes, cur, prev, age, rkey), None
+            return _chunk_update(
+                config, step, bin_planes, chunk_steps, dt,
+                planes, cur, prev, age, rkey, cos_v, sin_v,
+            ), None
 
         (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
         return acc
@@ -575,21 +581,38 @@ def _canvas_body(
     return body
 
 
-def _auto_frames_per_batch(config: Config, strategy: BinStrategy) -> int:
-    """Frames per device program targeting ~2 GB of live canvases.
+def _auto_frames_per_batch(
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int
+) -> int:
+    """Frames per device program targeting ~2 GB of live canvases AND
+    ~6 GB of per-chunk working set.
 
     Bytes/px of the accumulation planes follow the *plane kind* (EXACT_KERNEL
     carries EXACT's 12 B/px planes; keying on the raw strategy made
     fidelity-mode batches overshoot ~1.25x and risk OOM), plus 8 B/px for
-    the colorized u16 RGBA frame.
+    the colorized u16 RGBA frame. The working-set term exists because vmap
+    advances every frame's chunk in lock-step: the emitted point buffers
+    (and their sorted copies in the sort-bin pipeline) materialize for ALL
+    frames at once — a small canvas with the default 4M-point chunks would
+    otherwise batch thousands of frames and OOM on the chunk buffers, which
+    the canvas-only estimate never saw.
     """
+    kind = strategy.planes_kind()
     npix = config.width * config.height
     plane_bytes = {
         BinStrategy.EXACT: 12,
         BinStrategy.PACKED: 8,
         BinStrategy.DEPTH: 4,
-    }[strategy.planes_kind()]
-    return max(1, int(2e9 / max(1, npix * (plane_bytes + 8))))
+    }[kind]
+    emit_bytes = {
+        BinStrategy.EXACT: 12,  # flat + z + val
+        BinStrategy.PACKED: 8,  # flat + packed
+        BinStrategy.DEPTH: 8,  # flat + z
+    }[kind]
+    canvas = npix * (plane_bytes + 8)
+    # emitted buffer + sorted copy + apply slack ~ 3x
+    work = lanes * chunk_steps * emit_bytes * 3
+    return max(1, min(int(2e9 / max(1, canvas)), int(6e9 / max(1, work))))
 
 
 def render_sequence_batched(
@@ -632,12 +655,28 @@ def render_sequence_batched(
         # as (F, H*W*C) the minor dim tiles compactly. Host reshapes back.
         return convert_format_device(img, transparent, eight_bit).reshape(-1)
 
-    fn = jax.jit(jax.vmap(one))
+    # cache the compiled batch program like _KERNEL_CACHE/_SHARDED_CACHE:
+    # per-call re-jit would re-trace (and on the tunneled platform re-pay
+    # the remote compile) for every invocation with the same config
+    ckey = (
+        config.replace(angle=0.0, iterations=1, lanes=lanes,
+                       chunk_steps=chunk_steps).fingerprint(),
+        strategy.value, nchunks, bool(transparent), bool(eight_bit),
+    )
+    fn = _BATCHED_CACHE.get(ckey)
+    if fn is None:
+        fn = jax.jit(jax.vmap(one))
+        _BATCHED_CACHE[ckey] = fn
 
     if frames_per_batch is None:
-        frames_per_batch = _auto_frames_per_batch(config, strategy)
+        frames_per_batch = _auto_frames_per_batch(config, strategy, lanes, chunk_steps)
 
     angles = np.asarray(list(angles_deg), np.float64)
+    if angles.size == 0:
+        return np.zeros(
+            (0, *shape, 4 if transparent else 3),
+            np.uint8 if eight_bit else np.uint16,
+        )
     rad = np.radians(angles)
     dt = _dtype(config)
     base = seed_key(config, key)
@@ -672,9 +711,18 @@ def render_sequence(
     Yields ``(angle_degrees, image)``. Frames reuse the compiled kernels —
     only the traced cos/sin change per frame (the reference re-renders per
     frame on the same thread pool, main.rs:496-512).
+
+    Each frame folds its index into one base key (the reference draws fresh
+    OS entropy per frame, main.rs:656,748) — without the fold a SEEDED
+    config would replay the identical trajectory sample set every frame.
+    The fold matches :func:`render_sequence_batched`, so a seeded sequence
+    is frame-identical across the per-frame and batched paths.
     """
     from .utils.sequencing import angle_iter
 
-    for angle_deg in angle_iter(start_deg, end_deg, step_deg):
-        image = render_frame(config, key, angle=float(np.radians(angle_deg)))
+    base = seed_key(config, key)
+    for i, angle_deg in enumerate(angle_iter(start_deg, end_deg, step_deg)):
+        image = render_frame(
+            config, jax.random.fold_in(base, i), angle=float(np.radians(angle_deg))
+        )
         yield angle_deg, image

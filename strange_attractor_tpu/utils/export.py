@@ -197,7 +197,20 @@ def apng_bytes(frames: np.ndarray, fps: float = 30.0, loops: int = 0) -> bytes:
         raise ValueError(f"expected (F, H, W, C) frames, got {frames.shape}")
     h, w, depth, color_type, _ = _png_geometry(frames[0])
 
-    delay_den = max(1, int(round(fps)))
+    # exact rational frame delay: delay_num/delay_den seconds per frame.
+    # Rounding fps to an integer denominator lost fractional rates entirely
+    # (fps=0.4 played 2.5x fast, 12.5 -> 83.3 ms instead of 80)
+    from fractions import Fraction
+
+    if not fps > 0:
+        raise ValueError(f"fps must be positive, got {fps!r}")
+    s = 1.0 / fps  # seconds per frame
+    delay_den = Fraction(s).limit_denominator(65535).denominator
+    if round(s * delay_den) > 65535:  # both fcTL fields are u16
+        delay_den = max(1, int(65535 // s))
+    # delay_num 0 is spec'd "render as fast as possible" — right for
+    # fps beyond the u16 rational's resolution
+    delay_num = min(65535, round(s * delay_den))
     out = [b"\x89PNG\r\n\x1a\n"]
     out.append(_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)))
     out.append(_chunk(b"acTL", struct.pack(">II", frames.shape[0], loops)))
@@ -205,8 +218,8 @@ def apng_bytes(frames: np.ndarray, fps: float = 30.0, loops: int = 0) -> bytes:
     for f, frame in enumerate(frames):
         _, _, _, _, raw = _png_geometry(frame)
         fctl = struct.pack(
-            ">IIIIIHHBB", seq, w, h, 0, 0, 1, delay_den, 0, 0
-        )  # full-canvas frame, 1/fps delay, dispose none, blend source
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_num, delay_den, 0, 0
+        )  # full-canvas frame, 1/fps rational delay, dispose none, blend source
         out.append(_chunk(b"fcTL", fctl))
         seq += 1
         data = zlib_compress_parallel(_filter_scanlines(raw, h), 6)
@@ -295,9 +308,16 @@ def write_image(
     transparent: bool = True,
     eight_bit: bool = False,
     silent: bool = True,
+    announce: bool = True,
 ) -> Path:
     """Convert + write; returns the final path with extension
-    (reference: main.rs:40-100)."""
+    (reference: main.rs:40-100).
+
+    ``silent`` gates the progress prints like the reference's flag;
+    "Wrote image to ..." prints even when silent (main.rs:99 sits outside
+    the ``!silent`` gates — preserved for parity). ``announce=False``
+    suppresses it too, for callers like the CLI's --preview-every loop
+    that would otherwise print once per preview tick."""
     if not silent:
         print("Converting image format.")
     arr = convert_format(image_u16, transparent, eight_bit)
@@ -312,5 +332,6 @@ def write_image(
         write_pam(path, arr)
     else:
         raise ValueError(f"unknown format {fmt!r} (png, bmp, pam)")
-    print(f"Wrote image to '{path}'.")
+    if announce:
+        print(f"Wrote image to '{path}'.")
     return path

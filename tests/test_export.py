@@ -299,3 +299,17 @@ def test_fetch_image_bitcast_roundtrip():
     odd = rng.integers(0, 256, (5, 5, 3), np.uint8)        # 75 bytes: fallback
     for arr in (u8, u16, odd):
         np.testing.assert_array_equal(fetch_image(jnp.asarray(arr)), arr)
+
+
+def test_apng_fractional_fps_delay(img16):
+    """fcTL encodes the frame delay as an exact u16 rational: fps=12.5 must
+    give 2/25 s (the old round(fps) denominator played 83.3 ms instead of
+    80), fps=0.4 gives 5/2 s."""
+    from strange_attractor_tpu.utils.export import apng_bytes
+
+    frames = np.stack([img16, img16])
+    for fps, want in ((12.5, (2, 25)), (0.4, (5, 2)), (24, (1, 24))):
+        chunks = _parse_apng_chunks(apng_bytes(frames, fps=fps))
+        fctl = next(p for t, p in chunks if t == b"fcTL")
+        num, den = struct.unpack(">HH", fctl[20:24])
+        assert (num, den) == want, (fps, num, den)

@@ -215,12 +215,15 @@ def test_render_parallel_single_device_path(monkeypatch):
 def test_auto_frames_per_batch_uses_planes_kind():
     """EXACT_KERNEL carries EXACT's 12 B/px planes: its auto batch size must
     match EXACT's and stay below PACKED/KERNEL's (round-2 verdict: the raw-
-    strategy key overshot fidelity-mode batches ~1.25x toward OOM)."""
-    from strange_attractor_tpu.render import _auto_frames_per_batch
+    strategy key overshot fidelity-mode batches ~1.25x toward OOM). The
+    estimate also bounds the vmapped per-chunk working set: a small canvas
+    must not batch thousands of frames of 4M-point chunk buffers."""
+    from strange_attractor_tpu.render import _auto_frames_per_batch, plan_schedule
 
     cfg = presets.poisson_saturne(width=1920, height=1080)
+    lanes, chunk_steps, _ = plan_schedule(cfg)
     sizes = {
-        s: _auto_frames_per_batch(cfg, s)
+        s: _auto_frames_per_batch(cfg, s, lanes, chunk_steps)
         for s in (BinStrategy.EXACT, BinStrategy.EXACT_KERNEL, BinStrategy.KERNEL,
                   BinStrategy.PACKED, BinStrategy.DEPTH, BinStrategy.DEPTH_KERNEL)
     }
@@ -228,8 +231,17 @@ def test_auto_frames_per_batch_uses_planes_kind():
     assert sizes[BinStrategy.KERNEL] == sizes[BinStrategy.PACKED]
     assert sizes[BinStrategy.DEPTH_KERNEL] == sizes[BinStrategy.DEPTH]
     assert sizes[BinStrategy.EXACT_KERNEL] < sizes[BinStrategy.KERNEL]
-    # 2 GB / (1920*1080 * (12+8) B) = 48 frames for the fidelity modes
-    assert sizes[BinStrategy.EXACT_KERNEL] == 48
+    # fidelity modes: min(2 GB / (npix*20 B) = 48 canvas-bound, the
+    # schedule-dependent work bound — 39 at the TPU 4M-point chunks,
+    # 48 at the CPU scatter-optimal 1M chunks)
+    want = min(48, int(6e9 / (lanes * chunk_steps * 12 * 3)))
+    assert sizes[BinStrategy.EXACT_KERNEL] == want
+
+    # the working-set bound must bite on small canvases: 256x256 with the
+    # TPU 4M-point chunk schedule (16384 lanes x 256 steps) used to
+    # estimate ~1900 frames (>60 GB of chunk buffers on a 16 GB chip)
+    small = presets.poisson_saturne(width=256, height=256)
+    assert _auto_frames_per_batch(small, BinStrategy.KERNEL, 16384, 256) <= 64
 
 
 def test_sharded_lane_truncation_warns(cpu_devices):
@@ -246,3 +258,34 @@ def test_sharded_lane_truncation_warns(cpu_devices):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert _split_lanes(cfg_auto, 1024, 8) == 128
+
+
+def test_render_sequence_batched_empty_angles():
+    from strange_attractor_tpu.render import render_sequence_batched
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=10_000, lanes=64, chunk_steps=32, seed=5,
+    )
+    out = render_sequence_batched(cfg, [])
+    assert out.shape == (0, 27, 48, 4) and out.dtype == np.uint16
+    out8 = render_sequence_batched(cfg, [], transparent=False, eight_bit=True)
+    assert out8.shape == (0, 27, 48, 3) and out8.dtype == np.uint8
+
+
+def test_render_sequence_seeded_matches_batched():
+    """A SEEDED per-frame sequence must fold the frame index into the base
+    key (fresh trajectories per frame, like the reference's per-frame OS
+    entropy draw) — and fold it exactly like render_sequence_batched, so
+    the two paths produce identical frames. Before the fold, every
+    per-frame render replayed PRNGKey(seed) and would disagree with the
+    batched path on all frames but the first."""
+    from strange_attractor_tpu.render import render_sequence, render_sequence_batched
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=64, chunk_steps=32, seed=9,
+    )
+    per_frame = [img for _, img in render_sequence(cfg, 0.0, 3.0, 1.0)]
+    assert len(per_frame) == 3  # angle_iter: 0, 1, 2
+    batched = render_sequence_batched(cfg, [0.0, 1.0, 2.0])
+    for a, b in zip(per_frame, batched):
+        np.testing.assert_array_equal(a, b)
