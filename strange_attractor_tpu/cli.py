@@ -215,6 +215,16 @@ def _validate(args, parser):
         # matches the reference's InvalidValue error (main.rs:375-378)
     if args.subcommand == "sequence" and args.step <= 0:
         parser.error("step must be a positive")
+    # a depth-only accumulation cannot be colorized as a Gas render (and a
+    # Gas accumulation carries no z-plane for a depth render): reject the
+    # mismatch at parse time instead of after the full render budget
+    if args.bin_strategy in ("depth", "depth-kernel") and not args.depth:
+        parser.error(f"--bin-strategy {args.bin_strategy} requires --depth "
+                     "(it accumulates only the z-buffer)")
+    if args.depth and args.bin_strategy in ("packed", "kernel"):
+        parser.error(f"--bin-strategy {args.bin_strategy} cannot serve "
+                     "--depth (it accumulates no z-buffer plane); use "
+                     "auto, depth, depth-kernel, or a fidelity mode")
     args.palette_stops = None
     if args.palette:
         try:
@@ -226,6 +236,11 @@ def _validate(args, parser):
             args.palette_stops = Palette(stops)  # validates shape/non-empty
         except (ValueError, TypeError) as e:
             parser.error(f"--palette: {e}")
+        flat = [c for stop in stops for c in stop]
+        if any(not 0.0 <= c <= 1.0 for c in flat):
+            # out-of-range stops reach sqrt(negative) in the palette lerp
+            # and render NaN->black with no error; the help documents [0,1]
+            parser.error("--palette: components must be in [0, 1]")
 
 
 def config_from_args(args):
@@ -349,23 +364,40 @@ def main(argv=None) -> int:
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
 
+    def is_primary():
+        """Under --distributed only process 0 writes outputs (the processes
+        share a filesystem in the intended pod/NFS setups)."""
+        if not args.distributed:
+            return True
+        import jax
+
+        return jax.process_index() == 0
+
     encoders: list[threading.Thread] = []
+    encoder_errors: list[BaseException] = []
 
     def write_async(image, path_base):
         """Overlap host-side encode with the next frame's device render
         (reference spawns an encoder thread per frame, main.rs:507-511).
-        Under --distributed only the primary process writes."""
-        if args.distributed:
-            import jax
+        Bounded: at most 4 encoders in flight, so a long sequence cannot
+        pile up hundreds of threads each pinning a fetched frame. Errors
+        are collected and re-raised after the join — a failed write must
+        not exit 0."""
+        if not is_primary():
+            return
 
-            if jax.process_index() != 0:
-                return
-        t = threading.Thread(
-            target=write_image,
-            args=(path_base, image),
-            kwargs=dict(fmt=fmt, transparent=args.transparent,
-                        eight_bit=args.eight_bit, silent=config.silent),
-        )
+        def encode():
+            try:
+                write_image(path_base, image, fmt=fmt,
+                            transparent=args.transparent,
+                            eight_bit=args.eight_bit, silent=config.silent)
+            except BaseException as e:  # noqa: BLE001 — surfaced at join
+                encoder_errors.append(e)
+
+        while sum(t.is_alive() for t in encoders) >= 4:
+            encoders[0].join()
+            encoders.pop(0)
+        t = threading.Thread(target=encode)
         t.start()
         encoders.append(t)
 
@@ -373,16 +405,32 @@ def main(argv=None) -> int:
         if args.subcommand == "sequence":
             frames = list(frame_sequence(args.start, args.end, args.step, base))
             if args.frames_per_batch > 0:
-                images = render_mod.render_sequence_batched(
-                    config,
-                    [a for a, _ in frames],
-                    frames_per_batch=args.frames_per_batch,
-                    # deliverable conversion on device: the host fetch of a
-                    # batched sequence dominates on tunneled links, and the
-                    # 8-bit RGB deliverable is 2.7x fewer bytes than u16 RGBA
-                    transparent=args.transparent,
-                    eight_bit=args.eight_bit,
-                )
+                import jax
+
+                if not args.single_device and len(jax.devices()) > 1:
+                    # frames x lanes mesh: the multi-device analog of the
+                    # vmapped batch (otherwise the whole batch would run on
+                    # one device while the rest idle)
+                    from .parallel.mesh import render_sequence_sharded
+
+                    images = render_sequence_sharded(
+                        config,
+                        [a for a, _ in frames],
+                        transparent=args.transparent,
+                        eight_bit=args.eight_bit,
+                    )
+                else:
+                    images = render_mod.render_sequence_batched(
+                        config,
+                        [a for a, _ in frames],
+                        frames_per_batch=args.frames_per_batch,
+                        # deliverable conversion on device: the host fetch of
+                        # a batched sequence dominates on tunneled links, and
+                        # the 8-bit RGB deliverable is 2.7x fewer bytes than
+                        # u16 RGBA
+                        transparent=args.transparent,
+                        eight_bit=args.eight_bit,
+                    )
             else:
                 images = None
             if args.apng:
@@ -398,15 +446,17 @@ def main(argv=None) -> int:
                                     key=jax.random.fold_in(base_key, i))
                         for i, (a, _) in enumerate(frames)
                     ]
-                stack = np.stack(
-                    [convert_format(im, args.transparent, args.eight_bit) for im in images]
-                )
-                out = base.with_suffix(".apng")
-                write_apng(out, stack, fps=args.fps)
-                print(f"Wrote animation to '{out}'.")
+                if is_primary():
+                    stack = np.stack(
+                        [convert_format(im, args.transparent, args.eight_bit)
+                         for im in images]
+                    )
+                    out = base.with_suffix(".apng")
+                    write_apng(out, stack, fps=args.fps)
+                    print(f"Wrote animation to '{out}'.")
             elif images is not None:
                 for (angle_deg, out_path), image in zip(frames, images):
-                    write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
+                    write_async(image, _strip_suffix(out_path))
             else:
                 import jax
 
@@ -420,11 +470,20 @@ def main(argv=None) -> int:
                         angle_rad=float(np.radians(angle_deg)),
                         key=jax.random.fold_in(base_key, i),
                     )
-                    write_async(image, out_path.parent / out_path.stem if out_path.suffix else out_path)
+                    write_async(image, _strip_suffix(out_path))
         else:
             state = load_state(args.load_state) if args.load_state else None
+            import jax
+
+            if state is not None and not args.single_device and len(jax.devices()) > 1:
+                print(
+                    "warning: --load-state resumes on a single device (the "
+                    "sharded path cannot continue a standing accumulation); "
+                    "pass --single-device to silence this",
+                    file=sys.stderr,
+                )
             image, state = _render_stateful(args, config, render_mod, state)
-            if args.save_state:
+            if args.save_state and is_primary():
                 save_state(args.save_state, state)
                 if not config.silent:
                     print(f"Saved render state to '{args.save_state}'.")
@@ -434,7 +493,15 @@ def main(argv=None) -> int:
             t.join()
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
+    if encoder_errors:
+        raise encoder_errors[0]
     return 0
+
+
+def _strip_suffix(p):
+    """Drop a filename extension so write_image's with_suffix can add the
+    format's own (sequence frame names may carry one from -o)."""
+    return p.parent / p.stem if p.suffix else p
 
 
 def _render_one(args, config, render_mod, angle_rad, key=None):
@@ -475,7 +542,8 @@ def _render_stateful(args, config, render_mod, state):
         state = render_sharded(config, key=None)
     else:
         on_progress = None
-        if args.preview_every > 0:
+        primary = not args.distributed or jax.process_index() == 0
+        if args.preview_every > 0 and primary:
             from .utils.export import write_image
 
             base = _output_base(args)

@@ -270,3 +270,38 @@ def test_custom_palette_end_to_end(tmp_path):
     assert lit.any()
     assert (arr[..., 1][lit] == 0).all() and (arr[..., 2][lit] == 0).all()
     assert arr[..., 0][lit].max() > 0
+
+
+def test_depth_strategy_mismatch_rejected():
+    """A depth-only accumulation cannot serve a Gas render (and vice versa):
+    reject at parse time instead of after the full render budget."""
+    from strange_attractor_tpu.cli import build_parser, _validate
+
+    p = build_parser()
+    for argv in (
+        ["--bin-strategy", "depth-kernel"],          # gas render, z-only planes
+        ["--bin-strategy", "depth"],
+        ["--depth", "--bin-strategy", "kernel"],     # depth render, no z plane
+        ["--depth", "--bin-strategy", "packed"],
+    ):
+        with pytest.raises(SystemExit):
+            _validate(p.parse_args(argv), p)
+    # the legitimate combinations still pass
+    for argv in (
+        ["--depth", "--bin-strategy", "depth-kernel"],
+        ["--depth", "--bin-strategy", "exact-kernel"],
+        ["--bin-strategy", "exact16-kernel"],
+        ["--depth"],
+    ):
+        _validate(p.parse_args(argv), p)
+
+
+def test_palette_range_validated():
+    from strange_attractor_tpu.cli import build_parser, _validate
+
+    p = build_parser()
+    with pytest.raises(SystemExit):
+        _validate(p.parse_args(["--palette", "1,1,1;-0.5,0,0"]), p)
+    with pytest.raises(SystemExit):
+        _validate(p.parse_args(["--palette", "1,1,1.5"]), p)
+    _validate(p.parse_args(["--palette", "1,1,1;.5,0,0"]), p)
