@@ -257,6 +257,14 @@ class Config:
         if self.exact16_ties not in ("value", "earliest"):
             raise ValueError(
                 f"exact16_ties must be 'value' or 'earliest', got {self.exact16_ties!r}")
+        if self.kernel_section is not None:
+            ks = int(self.kernel_section)
+            # the section layout reshapes to (S, sec/rl, rl) with
+            # rl = min(1024, sec): anything not a power of two >= 128
+            # surfaces as an opaque reshape TypeError deep in _sections
+            if ks < 128 or ks & (ks - 1):
+                raise ValueError(
+                    f"kernel_section must be a power of two >= 128, got {ks}")
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -59,7 +59,13 @@ long fastdeflate_zlib(const uint8_t* data, long n, int level, int threads,
       zs.next_out = parts[i].data();
       zs.avail_out = (uInt)cap;
       int rc = deflate(&zs, last ? Z_FINISH : Z_FULL_FLUSH);
-      if ((last && rc != Z_STREAM_END) || (!last && rc != Z_OK)) errs[i] = 1;
+      // Z_OK is also what deflate returns when avail_out ran dry with input
+      // left over (deflateBound is only documented for single-shot usage):
+      // without the avail_in check a too-small buffer would silently drop
+      // part of a stripe and stitch a corrupt stream instead of failing
+      if ((last && rc != Z_STREAM_END) ||
+          (!last && (rc != Z_OK || zs.avail_in != 0)))
+        errs[i] = 1;
       parts[i].resize(cap - zs.avail_out);
       deflateEnd(&zs);
       adlers[i] = adler32(adler32(0L, Z_NULL, 0), data + off, (uInt)len);
@@ -81,12 +87,10 @@ long fastdeflate_zlib(const uint8_t* data, long n, int level, int threads,
     pos += (long)p.size();
   }
   unsigned long ad = adlers[0];
-  long done = stripe < n ? stripe : n;
   for (int i = 1; i < t; ++i) {
     long len = n - (long)i * stripe;
     if (len > stripe) len = stripe;
     ad = adler32_combine(ad, adlers[i], len);
-    done += len;
   }
   out[pos++] = (uint8_t)(ad >> 24);
   out[pos++] = (uint8_t)(ad >> 16);

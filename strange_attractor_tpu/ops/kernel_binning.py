@@ -189,7 +189,6 @@ def _make_apply_kernel(nrows: int, n_payload: int, first: bool, flush_fn, rl: in
     """
     n_blocks = 1 + 4 * n_payload
     W = w
-    n_win = alloc_rows // w  # last window = garbage (canvas_geometry)
 
     def kernel(f_ref, *rest):
         payload_refs = rest[:n_payload]

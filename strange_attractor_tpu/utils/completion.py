@@ -52,32 +52,37 @@ def _bash(prog: str, parser: argparse.ArgumentParser) -> str:
         out = [o for a in actions for o in a.option_strings]
         return " ".join(out + list(extra))
 
-    # per-option value cases, shared across parser levels (flags are unique)
-    cases = []
-    for action in top_opts + [a for sp in subs.values() for a in _actions(sp)[0]]:
-        if not _takes_value(action):
-            continue
-        vals = _value_words(action)
-        pat = "|".join(action.option_strings)
-        if vals is None:
-            cases.append(f'    {pat})\n      COMPREPLY=( $(compgen -f -- "$cur") ); return;;')
-        elif vals:
-            cases.append(
-                f'    {pat})\n      COMPREPLY=( $(compgen -W "{" ".join(vals)}" -- "$cur") ); return;;'
-            )
-        else:
-            cases.append(f"    {pat})\n      return;;")  # free-form value
+    def value_cases(actions, indent: str):
+        """Per-option value completion cases for ONE parser level — scoped
+        per level because flags are NOT globally unique (-s is --scale at
+        the top level but --start under sequence)."""
+        cases = []
+        for action in actions:
+            if not _takes_value(action):
+                continue
+            vals = _value_words(action)
+            pat = "|".join(action.option_strings)
+            if vals is None:
+                cases.append(f'{indent}{pat})\n{indent}  COMPREPLY=( $(compgen -f -- "$cur") ); return;;')
+            elif vals:
+                cases.append(
+                    f'{indent}{pat})\n{indent}  COMPREPLY=( $(compgen -W "{" ".join(vals)}" -- "$cur") ); return;;'
+                )
+            else:
+                cases.append(f"{indent}{pat})\n{indent}  return;;")  # free-form value
+        return "\n".join(cases)
 
     sub_branches = "\n".join(
-        f'    {name}) words="{words(_actions(sp)[0])}";;' for name, sp in subs.items()
+        f"""    {name})
+      case "$prev" in
+{value_cases(_actions(sp)[0], "        ")}
+      esac
+      words="{words(_actions(sp)[0])}";;""" for name, sp in subs.items()
     )
     return f"""{func}() {{
   local cur prev words sub
   cur=${{COMP_WORDS[COMP_CWORD]}}
   prev=${{COMP_WORDS[COMP_CWORD-1]}}
-  case "$prev" in
-{chr(10).join(cases)}
-  esac
   sub=""
   local i
   for ((i=1; i<COMP_CWORD; i++)); do
@@ -87,7 +92,11 @@ def _bash(prog: str, parser: argparse.ArgumentParser) -> str:
   done
   case "$sub" in
 {sub_branches}
-    *) words="{words(top_opts, subs)}";;
+    *)
+      case "$prev" in
+{value_cases(top_opts, "        ")}
+      esac
+      words="{words(top_opts, subs)}";;
   esac
   COMPREPLY=( $(compgen -W "$words" -- "$cur") )
 }}
@@ -103,16 +112,24 @@ def _zsh(prog: str, parser: argparse.ArgumentParser) -> str:
     top_opts, subs = _actions(parser)
 
     def spec(action) -> str:
-        flag = action.option_strings[-1]
         desc = _esc_zsh(action.help)
         if not _takes_value(action):
-            return f"  '{flag}[{desc}]' \\"
-        vals = _value_words(action)
-        if vals is None:
-            return f"  '{flag}[{desc}]:file:_files' \\"
-        if vals:
-            return f"  '{flag}[{desc}]:value:({' '.join(vals)})' \\"
-        return f"  '{flag}[{desc}]:value:' \\"
+            tail = f"[{desc}]"
+        else:
+            vals = _value_words(action)
+            if vals is None:
+                tail = f"[{desc}]:file:_files"
+            elif vals:
+                tail = f"[{desc}]:value:({' '.join(vals)})"
+            else:
+                tail = f"[{desc}]:value:"
+        opts = action.option_strings
+        if len(opts) == 1:
+            return f"  '{opts[0]}{tail}' \\"
+        # grouped spec: every alias completes and they exclude each other
+        # (emitting only option_strings[-1] dropped all short flags and the
+        # canonical --pam/--bmp spellings)
+        return f"  '({' '.join(opts)})'{{{','.join(opts)}}}'{tail}' \\"
 
     lines = [f"#compdef {prog}", "_arguments -s \\"]
     lines += [spec(a) for a in top_opts]

@@ -36,18 +36,26 @@ def _build() -> Optional[ctypes.CDLL]:
     if not _SOURCE.exists():
         return None
     tag = hashlib.sha256(_SOURCE.read_bytes()).hexdigest()[:16]
-    so = _cache_dir() / f"fastdeflate-{tag}.so"
+    try:
+        so = _cache_dir() / f"fastdeflate-{tag}.so"
+    except OSError:
+        # read-only HOME/XDG_CACHE_HOME (sandboxed CI): degrade to the
+        # stdlib fallback instead of crashing the PNG export
+        return None
     if not so.exists():
-        tmp = so.with_suffix(".tmp.so")
+        # per-process tmp name: two cold-cache processes otherwise race on
+        # one path — os.replace could promote a half-written .so (poisoning
+        # the cache) and the loser crashes on a vanished tmp file
+        tmp = so.with_suffix(f".tmp.{os.getpid()}.so")
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
             str(_SOURCE), "-o", str(tmp), "-lz", "-lpthread",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
         except (OSError, subprocess.SubprocessError):
             return None
-        os.replace(tmp, so)
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:
