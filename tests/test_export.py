@@ -297,7 +297,10 @@ def test_fetch_image_bitcast_roundtrip():
     u8 = rng.integers(0, 256, (27, 48, 4), np.uint8)       # divisible by 4
     u16 = rng.integers(0, 65536, (27, 48, 4), np.uint16)
     odd = rng.integers(0, 256, (5, 5, 3), np.uint8)        # 75 bytes: fallback
-    for arr in (u8, u16, odd):
+    # >= 2^21 bytes with an even word count: exercises the two-band
+    # overlapped-transfer path, not just the single device_get
+    big = rng.integers(0, 256, (1024, 512, 4), np.uint8)
+    for arr in (u8, u16, odd, big):
         np.testing.assert_array_equal(fetch_image(jnp.asarray(arr)), arr)
 
 
