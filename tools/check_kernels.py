@@ -69,6 +69,19 @@ def certify_kernels(n: int = 1 << 20, seclog: int = 17, npix: int = 1920 * 1080,
         log(f"first packed mismatches: {bad} {got_p[bad]} {want_p[bad]}")
         raise AssertionError("KERNEL mismatch vs sequential reference")
 
+    # the static always-evict variant (flood_gate=False — what the vmapped
+    # sequence paths compile) must match the gated program bit-for-bit
+    cnt_a, pk_a = kb.bin_chunk_kernel(
+        jnp.zeros((npix,), jnp.uint32), jnp.zeros((npix,), jnp.uint32),
+        jnp.asarray(flat), jnp.asarray(packed),
+        npix=npix, section=1 << seclog, interpret=interpret, flood_gate=False,
+    )
+    ok_a = (np.asarray(cnt_a)[:npix] == got_c).all() and (
+        np.asarray(pk_a)[:npix] == got_p).all()
+    log(f"always-evict (vmapped-path) exact: {ok_a}")
+    if not ok_a:
+        raise AssertionError("KERNEL flood_gate=False mismatch vs gated")
+
     # EXACT_KERNEL: full-f32 planes + strict z-test with earliest-wins ties
     z = rng.normal(0, 0.5, n).astype(np.float32)
     z[rng.random(n) < 0.02] = -2.0  # below sentinel: counted, never wins
