@@ -27,6 +27,17 @@ PRESET_NAMES = (
 )
 
 
+
+def _config(attractor, view, color_transform, overrides) -> Config:
+    """Build a preset Config letting **overrides replace ANY field —
+    including attractor/view/color_transform (passing those used to raise
+    'got multiple values for keyword argument', breaking the documented
+    custom-transform-over-preset-camera extension surface)."""
+    kw = dict(attractor=attractor, view=view, color_transform=color_transform)
+    kw.update(overrides)
+    return Config(**kw)
+
+
 def poisson_saturne(**overrides) -> Config:
     """The poisson-saturne preset (reference: src/lib.rs:310-353)."""
     attractor = PolynomialSprott2Degree(
@@ -66,12 +77,7 @@ def poisson_saturne(**overrides) -> Config:
         ),
         scale=1.0,
     )
-    return Config(
-        attractor=attractor,
-        view=view,
-        color_transform=poisson_saturne_transform,
-        **overrides,
-    )
+    return _config(attractor, view, poisson_saturne_transform, overrides)
 
 
 def solar_sail(**overrides) -> Config:
@@ -124,12 +130,7 @@ def solar_sail(**overrides) -> Config:
         rotation=EulerAxisRotation(axis=(0.02466, 0.4618, -0.54789), rotation=2.2195),
         scale=1.7,
     )
-    return Config(
-        attractor=attractor,
-        view=view,
-        color_transform=AdjustedVelocity(factor=-0.2, offset=0.8),
-        **overrides,
-    )
+    return _config(attractor, view, AdjustedVelocity(factor=-0.2, offset=0.8), overrides)
 
 
 def lorenz(**overrides) -> Config:
@@ -144,12 +145,7 @@ def lorenz(**overrides) -> Config:
         rotation=EulerAxisRotation(axis=(1.0, 0.0, 0.0), rotation=-math.pi / 2),
         scale=0.02,
     )
-    return Config(
-        attractor=Lorenz(),
-        view=view,
-        color_transform=AdjustedVelocity(offset=-0.05, factor=3.0),
-        **overrides,
-    )
+    return _config(Lorenz(), view, AdjustedVelocity(offset=-0.05, factor=3.0), overrides)
 
 
 def rossler(**overrides) -> Config:
@@ -163,12 +159,7 @@ def rossler(**overrides) -> Config:
         rotation=EulerAxisRotation(axis=(1.0, 0.0, 0.0), rotation=0.0),
         scale=1.0 / 42.0,
     )
-    return Config(
-        attractor=Rossler(),
-        view=view,
-        color_transform=AdjustedVelocity(offset=-0.05, factor=1.6),
-        **overrides,
-    )
+    return _config(Rossler(), view, AdjustedVelocity(offset=-0.05, factor=1.6), overrides)
 
 
 def halvorsen(**overrides) -> Config:
@@ -182,12 +173,7 @@ def halvorsen(**overrides) -> Config:
         rotation=EulerAxisRotation(axis=(1.0, 1.0, 0.0), rotation=0.6, normalize=True),
         scale=1.0 / 44.0,
     )
-    return Config(
-        attractor=Halvorsen(),
-        view=view,
-        color_transform=AdjustedVelocity(offset=-0.1, factor=0.25),
-        **overrides,
-    )
+    return _config(Halvorsen(), view, AdjustedVelocity(offset=-0.1, factor=0.25), overrides)
 
 
 def thomas(**overrides) -> Config:
@@ -210,12 +196,7 @@ def thomas(**overrides) -> Config:
         rotation=EulerAxisRotation(axis=(1.0, 1.0, 0.0), rotation=0.6, normalize=True),
         scale=0.07159,
     )
-    return Config(
-        attractor=Thomas(b=0.18),
-        view=view,
-        color_transform=AdjustedVelocity(offset=-0.005, factor=5.5),
-        **overrides,
-    )
+    return _config(Thomas(b=0.18), view, AdjustedVelocity(offset=-0.005, factor=5.5), overrides)
 
 
 # ---- discovered second-degree Sprott maps -------------------------------
@@ -251,12 +232,7 @@ def aurora_veil(**overrides) -> Config:
         rotation=_DISCOVERY_TILT,
         scale=0.757,
     )
-    return Config(
-        attractor=attractor,
-        view=view,
-        color_transform=AdjustedVelocity(offset=-0.05, factor=1.5),
-        **overrides,
-    )
+    return _config(attractor, view, AdjustedVelocity(offset=-0.05, factor=1.5), overrides)
 
 
 def orchid_ribbon(**overrides) -> Config:
@@ -271,12 +247,7 @@ def orchid_ribbon(**overrides) -> Config:
         rotation=_DISCOVERY_TILT,
         scale=0.5046,
     )
-    return Config(
-        attractor=attractor,
-        view=view,
-        color_transform=AdjustedVelocity(offset=-0.05, factor=1.5),
-        **overrides,
-    )
+    return _config(attractor, view, AdjustedVelocity(offset=-0.05, factor=1.5), overrides)
 
 
 def delta_kite(**overrides) -> Config:
@@ -291,12 +262,7 @@ def delta_kite(**overrides) -> Config:
         rotation=_DISCOVERY_TILT,
         scale=0.7519,
     )
-    return Config(
-        attractor=attractor,
-        view=view,
-        color_transform=AdjustedVelocity(offset=-0.05, factor=1.5),
-        **overrides,
-    )
+    return _config(attractor, view, AdjustedVelocity(offset=-0.05, factor=1.5), overrides)
 
 
 _BY_NAME = {

@@ -84,8 +84,12 @@ def colorize_planes(config: Config, count, steps, zbuf):
         return jnp.concatenate([rgb16, alpha[..., None]], axis=-1)
 
     # Depth (src/lib.rs:875-899): fold starts (0.0, f32::MAX), -1.0 excluded.
+    # The 0.0 fold START is load-bearing: an all-valid, all-negative z-plane
+    # must still normalize against zmax=0.0 (the where-fill alone only
+    # injects 0.0 when some pixel is invalid) — matches oracle.py:160-164.
     valid = zbuf != -1.0
-    zmax = jnp.max(jnp.where(valid, zbuf, jnp.float32(0.0)))
+    zmax = jnp.maximum(jnp.float32(0.0),
+                       jnp.max(jnp.where(valid, zbuf, jnp.float32(0.0))))
     zmin = jnp.min(jnp.where(valid, zbuf, jnp.float32(np.finfo(np.float32).max)))
     diff = zmax - zmin
     z = jnp.where(valid, (zbuf - zmin) / diff, jnp.float32(0.0))

@@ -32,6 +32,15 @@ class EulerAxisRotation:
     rotation: float
     normalize: bool = False
 
+    def __post_init__(self):
+        if self.normalize and not math.sqrt(sum(v * v for v in self.axis)) > 0.0:
+            # normalize=True is this port's own extension (the reference
+            # release build never normalizes), so fail fast with context
+            # instead of a bare ZeroDivisionError at render time
+            raise ValueError(
+                f"normalize=True requires a nonzero rotation axis, got {self.axis}"
+            )
+
     def to_rotation_matrix(self) -> np.ndarray:
         """Rodrigues-form 3x3 matrix, float64 (reference: src/lib.rs:179-196).
 

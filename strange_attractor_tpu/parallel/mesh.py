@@ -212,6 +212,14 @@ def render_sequence_sharded(
             (0, config.height, config.width, 4 if transparent else 3),
             np.uint8 if eight_bit else np.uint16,
         )
+    if config.iterations < 1:
+        # match render()'s blank-canvas semantics (plan_schedule floors to
+        # one real chunk; see render_sequence_batched)
+        from ..render import render_sequence_batched
+
+        return render_sequence_batched(
+            config, angles_deg, key, transparent=transparent, eight_bit=eight_bit
+        )
     if frame_axis <= 0:
         frame_axis = max(1, min(len(angles_deg), ndev))
     while ndev % frame_axis:

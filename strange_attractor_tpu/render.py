@@ -331,8 +331,16 @@ def precompile(config: Config, strategy: Optional[BinStrategy] = None) -> Render
     device layout — warming with a different producer compiles the consumer
     for another layout and the first real call silently re-JITs (~1.8 s on
     the remote compile service; measured round 3).
+
+    An explicit ``strategy`` pins ``config.bin_strategy`` for the warm-up
+    (and only helps if the real renders use the same pinned config):
+    without the pin, render()'s own resolution won the strategy choice and
+    the parameter silently warmed the RESOLVED variant, never the
+    requested one.
     """
-    if strategy is None:
+    if strategy is not None and config.bin_strategy is not strategy:
+        config = config.replace(bin_strategy=strategy)
+    else:
         strategy = config.resolved_bin_strategy(jax.default_backend())
     lanes, chunk_steps, nchunks = plan_schedule(config)
     # warm exactly the kernel variants render() will dispatch: the full
@@ -555,17 +563,9 @@ def _canvas_body(
         age = jnp.zeros((lanes,), jnp.int32)
         rkey = jax.random.fold_in(key, 0x5EED)
 
-        kind = strategy.planes_kind()
-        if kind == BinStrategy.DEPTH:
-            acc = (jnp.full((npix,), -1.0, jnp.float32),)
-        elif kind == BinStrategy.PACKED:
-            acc = (jnp.zeros((npix,), jnp.uint32), jnp.zeros((npix,), jnp.uint32))
-        else:
-            acc = (
-                jnp.zeros((npix,), jnp.uint32),
-                jnp.zeros((npix,), jnp.float32),
-                jnp.full((npix,), -1.0, jnp.float32),
-            )
+        # one source of truth for blank planes (RenderState.blank): a
+        # hand-rolled copy here would have to track layout/sentinel changes
+        acc = _state_to_planes(RenderState.blank((npix,), strategy), strategy)
         bin_planes = _bin_fn(config, strategy, vmapped=vmapped)
 
         def chunk(carry, _):
@@ -637,11 +637,26 @@ def render_sequence_batched(
     8-bit RGB deliverable is 2.7x fewer bytes than raw u16 RGBA. Defaults
     keep the original (F, H, W, 4) uint16 contract.
     """
-    from .ops.colorize import colorize_planes, state_planes
     from .parallel.mesh import planes_to_state
     from .utils.export import convert_format_device, fetch_image
 
     strategy = config.resolved_bin_strategy(jax.default_backend())
+    if config.iterations < 1:
+        # match render()/render_sequence, which return blank canvases:
+        # plan_schedule floors to one chunk, so the vmapped body would
+        # otherwise bin lanes*chunk_steps real points per "empty" frame
+        blank = RenderState.blank((config.height, config.width), strategy)
+        frame = np.asarray(
+            jax.device_get(
+                convert_format_device(
+                    colorize_planes(config, *state_planes(blank)),
+                    transparent, eight_bit,
+                )
+            )
+        )
+        return np.broadcast_to(
+            frame, (len(list(angles_deg)), *frame.shape)
+        ).copy()
     lanes, chunk_steps, nchunks = plan_schedule(config)
     body = _canvas_body(config, strategy, lanes, chunk_steps, nchunks, vmapped=True)
     shape = (config.height, config.width)

@@ -120,3 +120,22 @@ def test_saturating_cast():
     assert np.all(got[0, 0, :3] == 65535)  # saturated high
     want = oracle_colorize(cfg, count, steps, zbuf)
     np.testing.assert_array_equal(got, want)
+
+
+def test_depth_all_valid_negative_matches_oracle():
+    """The reference's (max, min) fold STARTS at (0.0, f32::MAX)
+    (src/lib.rs:875-882): an all-valid, all-negative z-plane must normalize
+    against zmax = 0.0, not the true negative max — the where-fill only
+    injects 0.0 when some pixel holds the -1.0 sentinel."""
+    cfg = presets.poisson_saturne(width=9, height=6, render=RenderKind.DEPTH)
+    rng = np.random.default_rng(7)
+    count = rng.integers(1, 9, (6, 9)).astype(np.uint32)
+    steps = rng.random((6, 9), np.float32)
+    zbuf = (-5.0 + 3.0 * rng.random((6, 9))).astype(np.float32)  # all valid, < 0
+    got = np.asarray(
+        colorize_planes(cfg, jnp.asarray(count), jnp.asarray(steps), jnp.asarray(zbuf))
+    )
+    want = oracle_colorize(cfg, count, steps, zbuf)
+    assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 1
+    # zmax=0.0 > every z, so nothing may normalize to full white
+    assert got[..., 0].max() < 65535
