@@ -53,8 +53,11 @@ def main() -> None:
     lanes, chunk, nchunks = plan_schedule(cfg)
     per_frame = lanes * chunk * nchunks
 
-    # the same per-frame program render_sequence_batched vmaps (render.py:606)
-    body = _canvas_body(cfg, strategy, lanes, chunk, nchunks)
+    # the same per-frame program render_sequence_batched vmaps: vmapped=True
+    # compiles the static always-evict flood path — without it the batched
+    # cond lowers to select_n and runs BOTH binning pipelines (~2x), so the
+    # tool would measure a program production never executes
+    body = _canvas_body(cfg, strategy, lanes, chunk, nchunks, vmapped=True)
     shape = (cfg.height, cfg.width)
 
     def one(k, cos_v, sin_v):
@@ -64,7 +67,8 @@ def main() -> None:
         return colorize_planes(cfg, *state_planes(st)).reshape(-1)
 
     fn = jax.jit(jax.vmap(one))
-    fpb = int(os.environ.get("SEQ_FPB", "0")) or _auto_frames_per_batch(cfg, strategy)
+    fpb = int(os.environ.get("SEQ_FPB", "0")) or _auto_frames_per_batch(
+        cfg, strategy, lanes, chunk)
     dt = _dtype(cfg)
     base = seed_key(cfg)
     angles = np.linspace(0.0, 360.0, frames, endpoint=False)
@@ -102,6 +106,21 @@ def main() -> None:
     # (~6 MB/frame); reported separately from the device metric above so
     # both the renderer and the delivery pipeline have honest numbers.
     from strange_attractor_tpu.render import render_sequence_batched
+
+    # warm the batched program OUTSIDE the timed region: its vmapped body +
+    # convert + bitcast shapes differ from the tool's own jit above, and
+    # the first execute of each program pays the remote compile service
+    # (CLAUDE.md cold-start anatomy) — one tail-sized and one full-batch
+    # warm render cover both program shapes
+    warm_n = min(frames, fpb)
+    render_sequence_batched(
+        cfg, angles[:warm_n], frames_per_batch=fpb, transparent=False, eight_bit=True
+    )
+    if frames % fpb:
+        render_sequence_batched(
+            cfg, angles[: frames % fpb], frames_per_batch=fpb,
+            transparent=False, eight_bit=True,
+        )
 
     t0 = time.perf_counter()
     imgs8 = render_sequence_batched(

@@ -103,6 +103,9 @@ def main() -> int:
             colors=Colors(brightness=BrightnessConstants(offset=-0.1)),
             seed=0,
             silent=True,
+            # pin explicitly: AUTO resolves to EXACT off-TPU, which would
+            # mislabel a CPU token run's row as 'kernel'
+            bin_strategy=BinStrategy.KERNEL,
         ),
         strategy="kernel",
         workload="solar-sail 1e9 1800x2000 b-0.1 (reference workload 2)",

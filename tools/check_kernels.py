@@ -193,7 +193,15 @@ def certify_kernels(n: int = 1 << 20, seclog: int = 17, npix: int = 1920 * 1080,
 
 
 def main() -> int:
-    from strange_attractor_tpu.utils.profiling import enable_compilation_cache
+    from strange_attractor_tpu.utils.profiling import (
+        enable_compilation_cache, force_cpu_if_requested,
+    )
+
+    # honor JAX_PLATFORMS/JAX_PLATFORM_NAME=cpu before the first backend
+    # touch: the env vars alone do not stop the tunneled TPU plugin's init,
+    # which hangs forever during an outage (CLAUDE.md round-3 learnings) —
+    # this is also the only way to reach the interpret-mode fallback by env
+    force_cpu_if_requested()
 
     if "--x64" in sys.argv:
         # jax_enable_x64 changes Mosaic lowering in ways interpret mode

@@ -48,7 +48,11 @@ def main():
     ap.add_argument("--reuse", action="store_true",
                     help="compare an existing --out file instead of re-rendering")
     ap.add_argument("--bin-strategy", default="auto",
-                    choices=["auto", "exact", "packed", "depth", "kernel",
+                    # no depth/depth-kernel: the parity target is the
+                    # reference's published GAS PNG, and a z-only state
+                    # cannot be colorized as gas (the render would complete
+                    # and then fail in colorize)
+                    choices=["auto", "exact", "packed", "kernel",
                              "exact-kernel", "exact16-kernel"],
                     help="accumulation strategy for the parity render "
                          "(records each strategy's own parity figure)")

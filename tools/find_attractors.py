@@ -38,7 +38,6 @@ def lyapunov_and_bounds(c, n=20_000, warmup=1000):
     procedure) + the orbit bounding box. Returns None for divergent or
     trivially-converging orbits."""
     p = np.array([0.05, 0.05, 0.05])
-    q = p + np.array([1e-8, 0.0, 0.0])
     d0 = 1e-8
     for _ in range(warmup):
         p = step(c, p)

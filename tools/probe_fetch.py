@@ -33,17 +33,22 @@ def main() -> None:
     import jax.numpy as jnp
     from jax import lax
 
-    from strange_attractor_tpu import presets, render
-    from strange_attractor_tpu.ops.colorize import colorize
+    from strange_attractor_tpu import colorize, presets, render
+    from strange_attractor_tpu.config import BrightnessConstants, Colors
     from strange_attractor_tpu.utils.export import convert_format_device
     from strange_attractor_tpu.utils.profiling import hard_sync
 
-    cfg = presets.poisson_saturne(iterations=iters, brightness=-0.25)
+    cfg = presets.poisson_saturne(
+        iterations=iters,
+        colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
+        seed=0,
+        silent=True,
+    )
     st = render(cfg, key=jax.random.PRNGKey(0))
 
     @jax.jit
     def colorize8(state):
-        return convert_format_device(colorize(cfg, state), bit8=True, channels=3)
+        return convert_format_device(colorize(cfg, state), False, True)
 
     img = colorize8(st)
     hard_sync(img)
