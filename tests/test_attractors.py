@@ -103,8 +103,9 @@ def test_lorenz_preset_renders():
     st = render(cfg)
     c = np.asarray(st.count)
     assert c.sum() > 50_000  # most points land in frame
-    # butterfly occupies the middle of the frame, not the borders
+    # butterfly occupies the middle of the frame, not the borders (both axes)
     assert c[:2, :].sum() + c[-2:, :].sum() < 0.05 * c.sum()
+    assert c[:, :2].sum() + c[:, -2:].sum() < 0.05 * c.sum()
     img = np.asarray(jax.device_get(colorize(cfg, st)))
     assert img[..., :3].max() > 0
 

@@ -68,7 +68,7 @@ def test_config_from_args():
     np.testing.assert_allclose(cfg.angle, np.pi / 2)
 
 
-def test_sequence_validation(capsys):
+def test_sequence_validation():
     with pytest.raises(SystemExit):
         main(FAST + ["sequence", "-s", "10", "-e", "5"])
     with pytest.raises(SystemExit):

@@ -92,7 +92,7 @@ def _run_workers(worker_src: str, extra_args, timeout: int = 600):
     pytest.fail("coordinator port collided on 3 consecutive bring-ups")
 
 
-def test_two_process_render(tmp_path):
+def test_two_process_render():
     procs, outs = _run_workers(_WORKER, lambda i: [])
 
     results = {}

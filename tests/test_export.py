@@ -204,16 +204,24 @@ def test_apng_structure(img16):
     # sequence numbers strictly increasing across fcTL/fdAT
     seqs = [struct.unpack(">I", p[:4])[0] for t, p in chunks if t in (b"fcTL", b"fdAT")]
     assert seqs == sorted(seqs) == list(range(len(seqs)))
-    # first frame decodes like a plain PNG
+    # the APNG's OWN first frame decodes like a plain PNG: rebuild a
+    # standalone PNG from its IHDR + IDAT and compare pixels (a corrupt
+    # fdAT/IDAT payload would pass the chunk-structure checks above)
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
     ihdr = next(p for t, p in chunks if t == b"IHDR")
     idat = next(p for t, p in chunks if t == b"IDAT")
-    plain = (b"\x89PNG\r\n\x1a\n"
-             + data[8:8+12+len(ihdr)]  # IHDR chunk bytes
-             )
-    # simpler: rebuild via writer-internal decode helper
-    from strange_attractor_tpu.utils.export import png_bytes
-    got = _decode_png(png_bytes(img16))
-    np.testing.assert_array_equal(got, img16)
+    plain = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(_decode_png(plain), frames[0])
+    # and the second frame's fdAT payload (past the 4-byte sequence
+    # number) is valid deflate data for the full canvas
+    fdat = next(p for t, p in chunks if t == b"fdAT")
+    plain2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+              + chunk(b"IDAT", fdat[4:]) + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(_decode_png(plain2), frames[1])
 
 
 def test_apng_cli(tmp_path):

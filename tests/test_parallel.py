@@ -197,7 +197,7 @@ def test_sequence_sharded_device_conversion(cpu_devices):
         np.testing.assert_array_equal(f_conv, convert_format(f_raw, False, True))
 
 
-def test_render_parallel_single_device_path(monkeypatch):
+def test_render_parallel_single_device_path():
     """render_parallel with one device equals render_frame (reference parity
     entry point, src/lib.rs:1051); jobs_per_thread is accepted and ignored."""
     import jax

@@ -67,8 +67,8 @@ def test_palette_interpolation_in_gamut(vals):
 
 
 @settings(max_examples=50, deadline=None)
-@given(st.integers(min_value=0, max_value=2**32 - 1), st.data())
-def test_merge_is_associative_and_commutative_on_counts(seed, data):
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_merge_is_associative_and_commutative_on_counts(seed):
     rng = np.random.default_rng(seed)
     H, W = 3, 5
 
@@ -104,9 +104,13 @@ def test_angle_iter_properties(start, span, step):
     angles = list(angle_iter(start, end, step))
     assert len(angles) >= 1
     assert angles[0] == start
-    # strictly increasing, never reaching end - step/2
+    # strictly increasing, never reaching end - step/2 — INCLUDING the last
+    # angle, the only one a fencepost regression can push past the bound
+    # (the single-yield fallback when no frame fits is exempt by design,
+    # utils/sequencing.py:33-34)
     assert all(b > a for a, b in zip(angles, angles[1:]))
-    assert all(a + step / 2 < end for a in angles[:-1] if len(angles) > 1)
+    if len(angles) > 1:
+        assert all(a + step / 2 < end for a in angles)
     # frame names unique
     from pathlib import Path
 
