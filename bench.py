@@ -133,8 +133,6 @@ def main() -> None:
         cert = f"bit-exact (2^20 pts, section 2^{seclog})"
 
     # the deliverable conversions, fused into one jit each
-    import jax.numpy as jnp
-
     @jax.jit
     def colorize8(st):
         # 8-bit RGB deliverable (reference --8-bit, no --transparent)
