@@ -142,3 +142,40 @@ def test_cli_distributed_two_processes(tmp_path):
 
     assert (outs[0] / "dist.png").exists(), "primary must write the image"
     assert not (outs[1] / "dist.png").exists(), "secondary must not write"
+
+
+_CLI_SHARED_DIR_WORKER = r'''
+import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+port = sys.argv[2]
+outdir = sys.argv[3]
+
+from strange_attractor_tpu.cli import main
+
+rc = main([
+    "-i", "30000", "-w", "48", "-h", "27", "--lanes", "64",
+    "--chunk-steps", "16", "--seed", "3",
+    "--distributed", "--coordinator", f"127.0.0.1:{port}",
+    "--num-processes", "2", "--process-id", str(pid),
+    "-o", outdir + "/frame",
+])
+print("RESULT " + str(rc))
+'''
+
+
+def test_two_process_cli_primary_only_writes(tmp_path):
+    """The CLI under --distributed: both processes render the same global
+    mesh, but only the primary writes the file (and prints 'Wrote image
+    to') — two processes writing one path on shared storage corrupt it."""
+    procs, outs = _run_workers(_CLI_SHARED_DIR_WORKER, lambda i: [str(tmp_path)])
+
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert "RESULT 0" in out, f"worker {i} CLI rc != 0:\n{out[-3000:]}"
+
+    assert (tmp_path / "frame.png").exists()
+    wrote = ["Wrote image to" in out for out in outs]
+    assert wrote == [True, False], f"primary-only write violated: {wrote}"
