@@ -59,8 +59,29 @@ def state_planes(state: RenderState):
     return state.count, state.steps, state.zbuf
 
 
-def colorize_planes(config: Config, count, steps, zbuf):
-    """Tone-map planes to (H, W, 4) uint16 RGBA."""
+def colorize_stats(config: Config, count, steps, zbuf):
+    """Global reductions :func:`colorize_planes` needs: Gas mode the running
+    max count (src/lib.rs:813-815, computed after the fact — SURVEY §7), Depth
+    mode the sentinel-excluded (zmax, zmin) fold. Split out so a banded
+    colorize (render.colorize_convert_fetch) can reduce over the FULL canvas
+    once and tone-map row bands with bit-identical elementwise math. Takes
+    the same plane triple as :func:`colorize_planes` (``steps`` unused)."""
+    del steps
+    if config.render == RenderKind.GAS:
+        return (jnp.max(count.astype(jnp.float32)),)
+    valid = zbuf != -1.0
+    zmax = jnp.maximum(jnp.float32(0.0),
+                       jnp.max(jnp.where(valid, zbuf, jnp.float32(0.0))))
+    zmin = jnp.min(jnp.where(valid, zbuf, jnp.float32(np.finfo(np.float32).max)))
+    return zmax, zmin
+
+
+def colorize_planes(config: Config, count, steps, zbuf, stats=None):
+    """Tone-map planes to (H, W, 4) uint16 RGBA.
+
+    ``stats`` optionally carries :func:`colorize_stats` of the full canvas;
+    when the planes ARE the full canvas it may be omitted and is computed
+    inline (identical ops)."""
     if config.render == RenderKind.GAS and count is None:
         raise ValueError(
             "this state was accumulated with BinStrategy.DEPTH (z-buffer only) "
@@ -71,7 +92,7 @@ def colorize_planes(config: Config, count, steps, zbuf):
         bk = config.colors.brightness
         rgb = palette_lookup(config.colors.palette.stops, steps)
         cf = count.astype(jnp.float32)
-        maxc = jnp.max(cf)
+        (maxc,) = stats if stats is not None else colorize_stats(config, count, steps, zbuf)
         # log base (max+1) brightness (src/lib.rs:860); NaN when max == 0
         # mirrors the reference's NaN -> 0 cast for the empty render.
         factor = jnp.log1p(cf) / jnp.log1p(maxc)
@@ -88,9 +109,7 @@ def colorize_planes(config: Config, count, steps, zbuf):
     # must still normalize against zmax=0.0 (the where-fill alone only
     # injects 0.0 when some pixel is invalid) — matches oracle.py:160-164.
     valid = zbuf != -1.0
-    zmax = jnp.maximum(jnp.float32(0.0),
-                       jnp.max(jnp.where(valid, zbuf, jnp.float32(0.0))))
-    zmin = jnp.min(jnp.where(valid, zbuf, jnp.float32(np.finfo(np.float32).max)))
+    zmax, zmin = stats if stats is not None else colorize_stats(config, count, steps, zbuf)
     diff = zmax - zmin
     z = jnp.where(valid, (zbuf - zmin) / diff, jnp.float32(0.0))
     gray = _saturate_u16(z * jnp.float32(65535.0))

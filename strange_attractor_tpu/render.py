@@ -513,6 +513,106 @@ def colorize(config: Config, state: RenderState):
     return fn(state)
 
 
+_BANDED_CACHE: dict = {}
+
+
+def _largest_divisor_at_most(n: int, k: int) -> int:
+    k = max(1, min(int(k), int(n)))
+    while n % k:
+        k -= 1
+    return k
+
+
+def colorize_convert_fetch(
+    config: Config,
+    state: RenderState,
+    *,
+    transparent: bool,
+    eight_bit: bool,
+    bands: Optional[int] = None,
+) -> np.ndarray:
+    """Tone-map + deliverable-convert in row bands, overlapping the host
+    fetch of each band with the device compute of the next.
+
+    The plain pipeline serializes colorize (~55 ms at 1080p) before the
+    multi-MB host fetch; banding hides all but the first band's compute
+    behind the transfers. The global reductions colorize needs (max count /
+    depth z-range) run once over the FULL canvas, so every band's
+    elementwise math — and therefore the assembled frame — is bit-identical
+    to the unbanded ``colorize`` + ``convert_format`` result (pinned in
+    tests/test_export.py).
+
+    ``bands``: explicit arg > ``SAR_COLORIZE_BANDS`` env > 4, snapped to the
+    largest divisor of the canvas height at most the request. ``bands=1``
+    (or a 1-row canvas) is exactly the plain pipeline.
+    """
+    import os
+
+    from .ops.colorize import colorize_stats
+    from .utils.export import convert_format_device, fetch_image
+
+    h, w = state.shape
+    if bands is None:
+        bands = int(os.environ.get("SAR_COLORIZE_BANDS", "4"))
+    bands = _largest_divisor_at_most(h, bands)
+    if bands <= 1:
+        return fetch_image(
+            convert_format_device(colorize(config, state), transparent, eight_bit)
+        )
+    rows = h // bands
+
+    ckey = (
+        config.colors.palette.fingerprint(),
+        config.colors.brightness.offset,
+        config.colors.brightness.factor,
+        config.render.value,
+        config.transparent,
+        state.strategy.value,
+        (h, w),
+        bands,
+        bool(transparent),
+        bool(eight_bit),
+    )
+    fns = _BANDED_CACHE.get(ckey)
+    if fns is None:
+
+        @jax.jit
+        def stats_fn(st):
+            return colorize_stats(config, *state_planes(st))
+
+        @jax.jit
+        def band_fn(st, start, stats):
+            sliced = RenderState(*(
+                None if p is None else lax.dynamic_slice_in_dim(p, start, rows, axis=0)
+                for p in st
+            ))
+            img = colorize_planes(config, *state_planes(sliced), stats=stats)
+            img = convert_format_device(img, transparent, eight_bit)
+            flat = img.reshape(-1)
+            per = 4 // flat.dtype.itemsize
+            if per > 1 and flat.shape[0] % per == 0:
+                # u32-packed transfer: the narrow-dtype fetch is ~2.7x
+                # slower over the tunnel (utils/export.fetch_image)
+                flat = lax.bitcast_convert_type(flat.reshape(-1, per), jnp.uint32)
+            return flat
+
+        fns = (stats_fn, band_fn)
+        _BANDED_CACHE[ckey] = fns
+    stats_fn, band_fn = fns
+
+    stats = stats_fn(state)
+    parts = [band_fn(state, np.int32(k * rows), stats) for k in range(bands)]
+    for p in parts:
+        p.copy_to_host_async()
+    channels = 4 if transparent else 3
+    dtype = np.uint8 if eight_bit else np.uint16
+    out = np.empty((h, w, channels), dtype)
+    for k, p in enumerate(parts):
+        hostp = np.ascontiguousarray(np.asarray(jax.device_get(p)))
+        out[k * rows: (k + 1) * rows] = hostp.view(dtype).reshape(rows, w, channels)
+    return out
+
+
 def render_frame(config: Config, key=None, *, angle: Optional[float] = None) -> np.ndarray:
     """One-shot: fresh state -> render -> colorize -> host uint16 array."""
     state = render(config, None, key, angle=angle)

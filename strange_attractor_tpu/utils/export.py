@@ -58,7 +58,21 @@ def convert_format_device(image_u16, transparent: bool, eight_bit: bool):
     return img
 
 
-def fetch_image(img) -> np.ndarray:
+def _resolve_fetch_bands(bands: int | None, nbytes: int, words: int) -> int:
+    """Band count for a host fetch: explicit arg > ``SAR_FETCH_BANDS`` env >
+    the measured default (2). Small transfers (< 2 MB) always go in one
+    piece — the per-transfer bookkeeping the bands amortize only matters on
+    multi-MB frames."""
+    import os
+
+    if bands is None:
+        bands = int(os.environ.get("SAR_FETCH_BANDS", "2"))
+    if nbytes < (1 << 21):
+        bands = 1
+    return max(1, min(int(bands), words))
+
+
+def fetch_image(img, bands: int | None = None) -> np.ndarray:
     """``device_get`` an image via a uint32 bitcast.
 
     On the tunneled dev platform (and generally for TPU's tiled narrow-type
@@ -69,6 +83,10 @@ def fetch_image(img) -> np.ndarray:
     host. Bit-exact: XLA's bitcast_convert_type composes minor-most bytes
     little-endian, matching the host view on every supported platform
     (asserted against the direct fetch in tests).
+
+    ``bands`` in-flight transfers overlap the tunnel's per-transfer
+    bookkeeping (~-25% at 2 bands on a 5.9 MB frame, measured round 3;
+    sweep with ``tools/probe_fetch.py``, override via ``SAR_FETCH_BANDS``).
     """
     import jax
     import jax.numpy as jnp
@@ -82,13 +100,18 @@ def fetch_image(img) -> np.ndarray:
         return np.asarray(jax.device_get(img))
     packed = lax.bitcast_convert_type(img.reshape(-1, per), jnp.uint32)
     words = packed.shape[0]
-    if n * itemsize >= (1 << 21) and words % 2 == 0:
-        # two in-flight transfers overlap the tunnel's per-transfer
-        # bookkeeping (~-25% on a 5.9 MB frame, measured round 3)
-        bands = [packed[: words // 2], packed[words // 2:]]
-        for b in bands:
+    nbands = _resolve_fetch_bands(bands, n * itemsize, words)
+    if nbands > 1:
+        # equal-ish contiguous slices; the first (words % nbands) take the
+        # extra word, so any band count works on any frame size
+        base, extra = divmod(words, nbands)
+        offsets = [0]
+        for i in range(nbands):
+            offsets.append(offsets[-1] + base + (1 if i < extra else 0))
+        parts = [packed[offsets[i]: offsets[i + 1]] for i in range(nbands)]
+        for b in parts:
             b.copy_to_host_async()
-        host = np.concatenate([np.asarray(jax.device_get(b)) for b in bands])
+        host = np.concatenate([np.asarray(jax.device_get(b)) for b in parts])
     else:
         host = np.asarray(jax.device_get(packed))
     return np.ascontiguousarray(host).view(img.dtype).reshape(img.shape)

@@ -312,6 +312,58 @@ def test_fetch_image_bitcast_roundtrip():
         np.testing.assert_array_equal(fetch_image(jnp.asarray(arr)), arr)
 
 
+def test_fetch_image_band_counts(monkeypatch):
+    """Any band count — including ones that do not divide the word count —
+    reassembles the exact bytes; the env override is honored."""
+    import jax.numpy as jnp
+
+    from strange_attractor_tpu.utils.export import fetch_image
+
+    rng = np.random.default_rng(12)
+    big = rng.integers(0, 256, (1024, 513, 4), np.uint8)  # words % 3 != 0
+    for bands in (1, 2, 3, 5, 16):
+        np.testing.assert_array_equal(fetch_image(jnp.asarray(big), bands=bands), big)
+    monkeypatch.setenv("SAR_FETCH_BANDS", "3")
+    np.testing.assert_array_equal(fetch_image(jnp.asarray(big)), big)
+
+
+def test_colorize_convert_fetch_banded_exact():
+    """The banded colorize+convert+fetch pipeline must be bit-identical to
+    the unbanded colorize -> host convert path for every render kind,
+    deliverable shape, and band edge case (snapping, bands=1, odd bands,
+    a band byte count that defeats the u32 bitcast)."""
+    import jax
+
+    from strange_attractor_tpu.config import BinStrategy, RenderKind
+    from strange_attractor_tpu.models import presets
+    from strange_attractor_tpu.render import colorize, colorize_convert_fetch, render
+
+    cases = [
+        # (strategy, render kind, w, h, transparent, eight_bit, bands)
+        (BinStrategy.PACKED, RenderKind.GAS, 64, 36, False, True, 4),
+        (BinStrategy.PACKED, RenderKind.GAS, 64, 36, True, False, 7),  # snaps to 6
+        (BinStrategy.EXACT, RenderKind.GAS, 64, 36, True, True, 3),
+        (BinStrategy.DEPTH, RenderKind.DEPTH, 64, 36, False, False, 2),
+        (BinStrategy.PACKED, RenderKind.GAS, 64, 36, False, False, 1),  # plain path
+        # rows*w*c = 3*47*3 odd: the band program's u16 bitcast falls back
+        (BinStrategy.PACKED, RenderKind.GAS, 47, 9, False, False, 3),
+    ]
+    for strategy, kind, w, h, transparent, eight_bit, bands in cases:
+        cfg = presets.poisson_saturne(
+            width=w, height=h, iterations=20_000, lanes=64, chunk_steps=32,
+            seed=3, bin_strategy=strategy, render=kind,
+        )
+        st = render(cfg)
+        expected = convert_format(
+            np.asarray(jax.device_get(colorize(cfg, st))), transparent, eight_bit
+        )
+        got = colorize_convert_fetch(
+            cfg, st, transparent=transparent, eight_bit=eight_bit, bands=bands
+        )
+        assert got.dtype == expected.dtype and got.shape == expected.shape
+        np.testing.assert_array_equal(got, expected)
+
+
 def test_apng_fractional_fps_delay(img16):
     """fcTL encodes the frame delay as an exact u16 rational: fps=12.5 must
     give 2/25 s (the old round(fps) denominator played 83.3 ms instead of
