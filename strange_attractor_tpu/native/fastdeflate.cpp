@@ -104,4 +104,71 @@ unsigned long fastdeflate_crc32(unsigned long crc, const uint8_t* data, long n) 
   return crc32(crc, data, (uInt)n);
 }
 
+// Adaptive PNG scanline filtering (spec heuristic: per row, the filter with
+// the minimum sum of absolute SIGNED residuals wins, lowest index on ties —
+// identical semantics to utils/export._filter_scanlines, which remains the
+// pure-Python fallback and the byte-for-byte test reference). Rows only read
+// RAW bytes of themselves and the row above, so they filter independently in
+// parallel. `raw` is h*stride bytes; `out` is h*(1+stride) bytes (filter
+// byte + filtered row each). Returns 0 on success, -1 on bad args.
+int fastdeflate_png_filter(const uint8_t* raw, long h, long stride, int bpp,
+                           int threads, uint8_t* out) {
+  if (h < 0 || stride <= 0 || bpp < 1 || bpp > (int)stride) return -1;
+  if (threads < 1) threads = 1;
+  if (threads > 64) threads = 64;
+  if ((long)threads > h && h > 0) threads = (int)h;
+
+  auto run = [&](long y0, long y1) {
+    std::vector<uint8_t> cand(5 * stride);
+    for (long y = y0; y < y1; ++y) {
+      const uint8_t* row = raw + y * stride;
+      const uint8_t* up_row = y ? raw + (y - 1) * stride : nullptr;
+      long cost[5] = {0, 0, 0, 0, 0};
+      for (long j = 0; j < stride; ++j) {
+        int cur = row[j];
+        int left = j >= bpp ? row[j - bpp] : 0;
+        int up = up_row ? up_row[j] : 0;
+        int upleft = (up_row && j >= bpp) ? up_row[j - bpp] : 0;
+        int p = left + up - upleft;
+        int pa = p - left; if (pa < 0) pa = -pa;
+        int pb = p - up; if (pb < 0) pb = -pb;
+        int pc = p - upleft; if (pc < 0) pc = -pc;
+        int pred = (pa <= pb && pa <= pc) ? left : (pb <= pc ? up : upleft);
+        uint8_t r[5];
+        r[0] = (uint8_t)cur;
+        r[1] = (uint8_t)(cur - left);
+        r[2] = (uint8_t)(cur - up);
+        r[3] = (uint8_t)(cur - ((left + up) >> 1));
+        r[4] = (uint8_t)(cur - pred);
+        for (int f = 0; f < 5; ++f) {
+          int c = r[f];
+          cost[f] += c < 256 - c ? c : 256 - c;
+          cand[f * stride + j] = r[f];
+        }
+      }
+      int pick = 0;
+      for (int f = 1; f < 5; ++f)
+        if (cost[f] < cost[pick]) pick = f;  // strict <: first wins ties
+      uint8_t* o = out + y * (1 + stride);
+      o[0] = (uint8_t)pick;
+      std::memcpy(o + 1, cand.data() + (long)pick * stride, stride);
+    }
+  };
+
+  if (threads == 1 || h < 2) {
+    run(0, h);
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  long per = (h + threads - 1) / threads;
+  for (int i = 0; i < threads; ++i) {
+    long y0 = (long)i * per;
+    long y1 = y0 + per < h ? y0 + per : h;
+    if (y0 >= y1) break;
+    pool.emplace_back(run, y0, y1);
+  }
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
 }  // extern "C"

@@ -135,22 +135,37 @@ def _png_geometry(arr: np.ndarray):
 
 
 def _filter_scanlines(raw: np.ndarray, h: int) -> bytes:
-    """Adaptive per-row PNG filtering, fully vectorized across rows.
+    """Adaptive per-row PNG filtering (``FilterType::Adaptive``, like the
+    reference encoder, src/bin/main.rs:84-88): each scanline tries all five
+    standard filters (None/Sub/Up/Average/Paeth) and keeps the one with the
+    smallest sum of absolute signed residuals — the spec's
+    minimum-sum-of-absolute-differences heuristic.
 
-    Like the reference encoder (``FilterType::Adaptive``,
-    src/bin/main.rs:84-88): each scanline tries all five standard filters
-    (None/Sub/Up/Average/Paeth) and keeps the one with the smallest sum of
-    absolute signed residuals — the spec's minimum-sum-of-absolute-differences
-    heuristic. All five candidates are computed as whole-image numpy ops.
+    Dispatches to the native C++ filter (utils/native.py — the filter, not
+    deflate, is the warm 1080p encode floor); falls back to the vectorized
+    numpy path below, which is also the byte-for-byte test reference.
     """
     # jax.device_get from TPU can hand back non-contiguous strided views
     # (padded device layouts); .view() below needs contiguous memory
     raw = np.ascontiguousarray(raw)
     rows = raw.reshape(h, -1).view(np.uint8).reshape(h, -1)
-    stride = rows.shape[1]
+    bpp = _bytes_per_pixel(raw)
+    if h > 0:
+        from .native import png_filter_adaptive
+
+        out = png_filter_adaptive(np.ascontiguousarray(rows), bpp)
+        if out is not None:
+            return out
+    return _filter_scanlines_numpy(rows, bpp)
+
+
+def _filter_scanlines_numpy(rows: np.ndarray, bpp: int) -> bytes:
+    """The pure-numpy adaptive filter: all five candidates as whole-image
+    vectorized ops. Fallback when the native lib is unavailable, and the
+    reference implementation the native path is pinned against in tests."""
+    h, stride = rows.shape
     # (H, stride) u8 neighbours; the spec treats the row above row 0 and the
     # pixel left of column 0 as zeros
-    bpp = _bytes_per_pixel(raw)
     left = np.zeros_like(rows)
     left[:, bpp:] = rows[:, :-bpp]
     up = np.zeros_like(rows)

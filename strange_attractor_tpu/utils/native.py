@@ -65,6 +65,11 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_long,
     ]
+    lib.fastdeflate_png_filter.restype = ctypes.c_int
+    lib.fastdeflate_png_filter.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -97,3 +102,30 @@ def zlib_compress_parallel(data: bytes, level: int = 6, threads: Optional[int] =
     if written <= 0:
         return zlib.compress(data, level)
     return out.raw[:written]
+
+
+def png_filter_adaptive(rows, bpp: int, threads: Optional[int] = None):
+    """Native adaptive PNG scanline filter, or None if the lib is missing.
+
+    ``rows`` is a C-contiguous (h, stride) uint8 array of raw scanlines;
+    returns the h*(1+stride) filtered byte stream (filter byte + row each),
+    byte-identical to export._filter_scanlines' numpy path (the fallback
+    and test reference). C speed matters because the filter — not deflate —
+    is the warm 1080p encode floor (docs/KERNEL_NOTES.md).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    assert rows.dtype == np.uint8 and rows.ndim == 2 and rows.flags.c_contiguous
+    h, stride = rows.shape
+    if threads is None:
+        threads = min(16, os.cpu_count() or 1)
+    out = ctypes.create_string_buffer(h * (1 + stride))
+    rc = lib.fastdeflate_png_filter(
+        rows.ctypes.data, h, stride, bpp, max(1, threads), out
+    )
+    if rc != 0:
+        return None
+    return out.raw

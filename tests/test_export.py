@@ -327,6 +327,39 @@ def test_fetch_image_band_counts(monkeypatch):
     np.testing.assert_array_equal(fetch_image(jnp.asarray(big)), big)
 
 
+def test_native_png_filter_matches_numpy():
+    """The native C++ adaptive filter must be byte-identical to the numpy
+    reference path on every geometry: both depths, both channel counts,
+    flat / gradient / random content, single-row, and narrow images."""
+    from strange_attractor_tpu.utils.export import (
+        _bytes_per_pixel,
+        _filter_scanlines_numpy,
+    )
+    from strange_attractor_tpu.utils.native import get_lib, png_filter_adaptive
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable (no toolchain)")
+    rng = np.random.default_rng(7)
+    grad = np.linspace(0, 65535, 40 * 30 * 4).reshape(40, 30, 4)
+    cases = [
+        rng.integers(0, 256, (25, 17, 3), np.uint8),
+        rng.integers(0, 65536, (25, 17, 4), np.uint16),
+        np.zeros((8, 8, 3), np.uint8),
+        grad.astype(np.uint16),
+        (grad[..., :3] / 257).astype(np.uint8),
+        rng.integers(0, 256, (1, 5, 4), np.uint8),   # single row
+        rng.integers(0, 65536, (7, 1, 3), np.uint16),  # single column
+    ]
+    for arr in cases:
+        raw = arr if arr.dtype == np.uint8 else arr.astype(">u2")
+        h = raw.shape[0]
+        rows = np.ascontiguousarray(raw).reshape(h, -1).view(np.uint8).reshape(h, -1)
+        bpp = _bytes_per_pixel(raw)
+        native = png_filter_adaptive(np.ascontiguousarray(rows), bpp)
+        assert native is not None
+        assert native == _filter_scanlines_numpy(rows, bpp)
+
+
 def test_colorize_convert_fetch_banded_exact():
     """The banded colorize+convert+fetch pipeline must be bit-identical to
     the unbanded colorize -> host convert path for every render kind,
