@@ -59,6 +59,13 @@ def state_planes(state: RenderState):
     return state.count, state.steps, state.zbuf
 
 
+_DEPTH_STATE_AS_GAS_MSG = (
+    "this state was accumulated with BinStrategy.DEPTH (z-buffer only) "
+    "and cannot be colorized as a Gas render; use BinStrategy.PACKED/"
+    "EXACT if you need both render kinds from one state"
+)
+
+
 def colorize_stats(config: Config, count, steps, zbuf):
     """Global reductions :func:`colorize_planes` needs: Gas mode the running
     max count (src/lib.rs:813-815, computed after the fact — SURVEY §7), Depth
@@ -68,6 +75,8 @@ def colorize_stats(config: Config, count, steps, zbuf):
     the same plane triple as :func:`colorize_planes` (``steps`` unused)."""
     del steps
     if config.render == RenderKind.GAS:
+        if count is None:
+            raise ValueError(_DEPTH_STATE_AS_GAS_MSG)
         return (jnp.max(count.astype(jnp.float32)),)
     valid = zbuf != -1.0
     zmax = jnp.maximum(jnp.float32(0.0),
@@ -83,11 +92,7 @@ def colorize_planes(config: Config, count, steps, zbuf, stats=None):
     when the planes ARE the full canvas it may be omitted and is computed
     inline (identical ops)."""
     if config.render == RenderKind.GAS and count is None:
-        raise ValueError(
-            "this state was accumulated with BinStrategy.DEPTH (z-buffer only) "
-            "and cannot be colorized as a Gas render; use BinStrategy.PACKED/"
-            "EXACT if you need both render kinds from one state"
-        )
+        raise ValueError(_DEPTH_STATE_AS_GAS_MSG)
     if config.render == RenderKind.GAS:
         bk = config.colors.brightness
         rgb = palette_lookup(config.colors.palette.stops, steps)

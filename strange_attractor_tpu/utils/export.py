@@ -60,15 +60,16 @@ def convert_format_device(image_u16, transparent: bool, eight_bit: bool):
 
 def _resolve_fetch_bands(bands: int | None, nbytes: int, words: int) -> int:
     """Band count for a host fetch: explicit arg > ``SAR_FETCH_BANDS`` env >
-    the measured default (2). Small transfers (< 2 MB) always go in one
-    piece — the per-transfer bookkeeping the bands amortize only matters on
-    multi-MB frames."""
+    the measured default (2). Without an explicit arg, small transfers
+    (< 2 MB) go in one piece — the per-transfer bookkeeping the bands
+    amortize only matters on multi-MB frames — but an explicit ``bands=``
+    is always honored (probes sweep small frames too)."""
     import os
 
     if bands is None:
         bands = int(os.environ.get("SAR_FETCH_BANDS", "2"))
-    if nbytes < (1 << 21):
-        bands = 1
+        if nbytes < (1 << 21):
+            bands = 1
     return max(1, min(int(bands), words))
 
 

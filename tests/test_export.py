@@ -320,11 +320,16 @@ def test_fetch_image_band_counts(monkeypatch):
     from strange_attractor_tpu.utils.export import fetch_image
 
     rng = np.random.default_rng(12)
-    big = rng.integers(0, 256, (1024, 513, 4), np.uint8)  # words % 3 != 0
-    for bands in (1, 2, 3, 5, 16):
+    # 525312 u32 words: % 5 == 2 and % 7 == 4 exercise the uneven split
+    # (first remainder bands take the extra word); 3 and 16 divide evenly
+    big = rng.integers(0, 256, (1024, 513, 4), np.uint8)
+    for bands in (1, 2, 3, 5, 7, 16):
         np.testing.assert_array_equal(fetch_image(jnp.asarray(big), bands=bands), big)
     monkeypatch.setenv("SAR_FETCH_BANDS", "3")
     np.testing.assert_array_equal(fetch_image(jnp.asarray(big)), big)
+    # explicit bands= is honored even under the 2 MB auto-band threshold
+    small = rng.integers(0, 256, (64, 64, 4), np.uint8)
+    np.testing.assert_array_equal(fetch_image(jnp.asarray(small), bands=3), small)
 
 
 def test_native_png_filter_matches_numpy():
@@ -395,6 +400,19 @@ def test_colorize_convert_fetch_banded_exact():
         )
         assert got.dtype == expected.dtype and got.shape == expected.shape
         np.testing.assert_array_equal(got, expected)
+
+    # a DEPTH (z-only) state asked to colorize as GAS must raise the same
+    # curated ValueError as the plain path, not a NoneType crash in stats
+    cfg = presets.poisson_saturne(
+        width=64, height=36, iterations=10_000, lanes=64, chunk_steps=32,
+        seed=3, bin_strategy=BinStrategy.DEPTH, render=RenderKind.DEPTH,
+    )
+    st = render(cfg)
+    with pytest.raises(ValueError, match="cannot be colorized as a Gas"):
+        colorize_convert_fetch(
+            cfg.replace(render=RenderKind.GAS), st,
+            transparent=False, eight_bit=True, bands=4,
+        )
 
 
 def test_apng_fractional_fps_delay(img16):

@@ -53,10 +53,13 @@ def main() -> None:
     def colorize8(state):
         return convert_format_device(colorize(cfg, state), False, True)
 
-    # warm every program, and pin the banded output byte-identical to the
-    # plain path once before timing anything
+    # warm every program the sweep will time (each band count is its own
+    # compiled program — an unwarmed one would pay the remote compile inside
+    # the timed region), and pin each banded output byte-identical to the
+    # plain path before timing anything
+    sweep = (2, 3, 4, 6, 8)
     plain = fetch_image(colorize8(st))
-    for bands in (2, 4, 8):
+    for bands in sweep:
         got = colorize_convert_fetch(cfg, st, transparent=False, eight_bit=True,
                                      bands=bands)
         np.testing.assert_array_equal(got, plain)
@@ -76,7 +79,7 @@ def main() -> None:
         (f"banded bands={b}",
          lambda b=b: colorize_convert_fetch(cfg, st, transparent=False,
                                             eight_bit=True, bands=b))
-        for b in (2, 3, 4, 6, 8)
+        for b in sweep
     ]
     for name, fn in rows:
         print(json.dumps({"variant": name, "best_s": round(best(fn), 4),
