@@ -43,6 +43,7 @@ from .ops.projection import EulerAxisRotation
 from .runtime import RenderState, merge
 from .render import (
     colorize,
+    colorize_convert_fetch,
     precompile,
     render,
     render_frame,
@@ -67,6 +68,7 @@ __all__ = [
     "RenderState",
     "View",
     "colorize",
+    "colorize_convert_fetch",
     "merge",
     "poisson_saturne_transform",
     "precompile",
