@@ -112,6 +112,26 @@ def test_render_sharded(cpu_devices, strategy):
     assert (va & vb).sum() / max(1, (va | vb).sum()) > 0.6
 
 
+def test_banded_delivery_on_sharded_state(cpu_devices):
+    """colorize_convert_fetch (the banded overlapped delivery) must accept a
+    render_sharded state: the per-band dynamic slices and the stats program
+    run on the replicated canvas without resharding errors, byte-identical
+    to the plain colorize + host-convert path."""
+    from strange_attractor_tpu.render import colorize_convert_fetch
+    from strange_attractor_tpu.utils.export import convert_format
+
+    cfg = presets.poisson_saturne(
+        width=64, height=36, iterations=100_000, lanes=256, chunk_steps=64,
+        seed=4, bin_strategy=BinStrategy.KERNEL,
+    )
+    st = render_sharded(cfg, cpu_devices)
+    expected = convert_format(
+        np.asarray(jax.device_get(colorize(cfg, st))), False, True
+    )
+    got = colorize_convert_fetch(cfg, st, transparent=False, eight_bit=True, bands=4)
+    np.testing.assert_array_equal(got, expected)
+
+
 def test_render_sequence_sharded(cpu_devices):
     cfg = presets.poisson_saturne(
         width=48, height=27, iterations=30_000, lanes=128, chunk_steps=32, seed=6,
