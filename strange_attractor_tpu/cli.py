@@ -418,6 +418,9 @@ def main(argv=None) -> int:
                         [a for a, _ in frames],
                         transparent=args.transparent,
                         eight_bit=args.eight_bit,
+                        # honor the user's per-program memory bound on the
+                        # mesh path too (frames per DEVICE per program)
+                        frames_per_batch=args.frames_per_batch,
                     )
                 else:
                     images = render_mod.render_sequence_batched(
@@ -507,21 +510,18 @@ def _strip_suffix(p):
 def _render_one(args, config, render_mod, angle_rad, key=None):
     import jax
 
-    from .utils.export import convert_format_device, fetch_image
-
     if args.single_device or len(jax.devices()) <= 1:
         state = render_mod.render(config, None, key, angle=angle_rad)
     else:
         from .parallel.mesh import render_sharded
 
         state = render_sharded(config.replace(angle=angle_rad), key=key)
-    # same device-side deliverable conversion + u32-bitcast fetch as the
-    # single-frame path (_render_stateful): the per-frame sequence loop
-    # otherwise hauls 16.6 MB of raw u16 RGBA per frame over the link
-    return fetch_image(
-        convert_format_device(
-            render_mod.colorize(config, state), args.transparent, args.eight_bit
-        )
+    # banded delivery: device-side deliverable conversion + u32-bitcast
+    # fetch in row bands, each band's transfer overlapped with the next
+    # band's tone-map (bit-identical to the plain colorize+convert+fetch;
+    # render.colorize_convert_fetch)
+    return render_mod.colorize_convert_fetch(
+        config, state, transparent=args.transparent, eight_bit=args.eight_bit
     )
 
 
@@ -564,15 +564,13 @@ def _render_stateful(args, config, render_mod, state):
                             silent=True, announce=False)
 
         state = render_mod.render(config, state, on_progress=on_progress)
-    # convert on device before fetching (2.7x fewer bytes over the device
-    # link for the default 8-bit-opaque case) and fetch through the
-    # u32-bitcast fast path (another ~2.7x on narrow dtypes)
-    from .utils.export import convert_format_device, fetch_image
-
-    image = fetch_image(
-        convert_format_device(
-            render_mod.colorize(config, state), args.transparent, args.eight_bit
-        )
+    # banded delivery (render.colorize_convert_fetch): convert on device
+    # before fetching (2.7x fewer bytes over the device link for the
+    # default 8-bit-opaque case), fetch through the u32-bitcast fast path
+    # (another ~2.7x on narrow dtypes), and overlap each row band's
+    # transfer with the next band's tone-map — bit-identical output
+    image = render_mod.colorize_convert_fetch(
+        config, state, transparent=args.transparent, eight_bit=args.eight_bit
     )
     return image, state
 

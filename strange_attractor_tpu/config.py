@@ -265,6 +265,15 @@ class Config:
             if ks < 128 or ks & (ks - 1):
                 raise ValueError(
                     f"kernel_section must be a power of two >= 128, got {ks}")
+        if self.kernel_window is not None:
+            kw = int(self.kernel_window)
+            # apply windows slice the canvas in 8-row Mosaic sublane tiles;
+            # off-grid values surface as an opaque Mosaic compile error (or a
+            # minutes-long compile) only on the real chip — reject up front
+            if kw < 8 or kw % 8 or kw > 512:
+                raise ValueError(
+                    "kernel_window must be a multiple of 8 in [8, 512], "
+                    f"got {kw}")
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -276,12 +285,15 @@ class Config:
         src/lib.rs:1058 gives ~1e6-1e7 steps per work unit)."""
         if self.lanes is not None:
             return max(1, int(self.lanes))
-        # target >= ~32k steps/lane => warmup overhead ~3%; the 1e9 lanes
-        # sweep is flat 484-493M iters/s from 8k to 30k lanes, so cap at
-        # 16384 where warm-up overhead is halved (docs/KERNEL_NOTES.md)
-        lanes = max(256, min(16384, self.iterations // 32_768))
-        # round down to a multiple of 256 for clean VPU shapes
-        return max(256, (lanes // 256) * 256)
+        # POWER-OF-TWO lanes, capped at 32768 and sized so steps/lane stays
+        # >= ~16k (warm-up overhead <= ~6%). Round-4 1e9 ladder on v5e:
+        # (32768, 128) 543.7M > (16384, 256) 539.4M > (30464, 137) 529.8M —
+        # non-power-of-2 lanes cost ~2.6% (ragged emission reshape /
+        # section geometry), and doubling lanes at the same 4M chunk buffer
+        # hides more VPU dependency latency per scan step
+        # (docs/KERNEL_NOTES.md round 4).
+        target = max(256, min(32_768, self.iterations // 16_384))
+        return 1 << (target.bit_length() - 1)
 
     def resolved_chunk_steps(self) -> int:
         if self.chunk_steps is not None:
@@ -292,16 +304,22 @@ class Config:
         # sweep: 170 -> 175-177M iters/s); the XLA scatter fallbacks peak at
         # ~1M (smaller flushes keep the scatter pipeline dense). Key the
         # choice on the *resolved* strategy: AUTO resolves to a scatter path
-        # off-TPU and must get the scatter optimum there. Touch the backend
-        # ONLY for that AUTO case: jax.default_backend() initializes the
-        # backend, which hangs indefinitely during a TPU-tunnel outage, so
-        # an explicit bin_strategy keeps Config fully backend-free (callers
-        # that must stay backend-free with AUTO should set chunk_steps or a
-        # concrete strategy).
+        # off-TPU and must get the scatter optimum there. AUTO consults the
+        # backend ONLY if it is already initialized: jax.default_backend()
+        # otherwise *initializes* it, which hangs indefinitely during a
+        # TPU-tunnel outage — Config stays fully backend-free. Pre-init AUTO
+        # callers get the conservative scatter buffer (correct everywhere,
+        # ~5% off the TPU sort-bin optimum); render()/plan_schedule always
+        # resolve post-init, so the render path never sees the fallback.
         if self.bin_strategy is BinStrategy.AUTO:
-            import jax
+            from jax._src import xla_bridge
 
-            resolved = self.resolved_bin_strategy(jax.default_backend())
+            if xla_bridge.backends_are_initialized():
+                import jax
+
+                resolved = self.resolved_bin_strategy(jax.default_backend())
+            else:
+                resolved = BinStrategy.EXACT
         else:
             resolved = self.bin_strategy
         scatter = (BinStrategy.PACKED, BinStrategy.EXACT, BinStrategy.DEPTH)

@@ -190,6 +190,7 @@ def render_sequence_sharded(
     frame_axis: int = 0,
     transparent: bool = True,
     eight_bit: bool = False,
+    frames_per_batch: int = 0,
 ):
     """Shard an animation over a 2D (frames, lanes) mesh.
 
@@ -200,6 +201,15 @@ def render_sequence_sharded(
 
     The angle count is padded up to a multiple of the frames axis; padded
     frames are rendered (identical cost, SPMD) and dropped on the host.
+
+    ``frames_per_batch`` bounds frames *per device* per compiled program
+    (0 = the automatic ~2 GB memory cap). Without it a long sequence vmaps
+    every frame's canvas
+    plus lock-step chunk buffers into one program — the same working-set
+    blow-up ``render_sequence_batched`` guards against with
+    ``_auto_frames_per_batch``. The angle list is sliced into groups of
+    ``frames_per_batch * frame_axis``; every group runs through ONE cached
+    program (short tails are padded), and results concatenate on the host.
     """
     from ..render import plan_schedule, seed_key
     from ..ops.colorize import colorize_planes, state_planes
@@ -232,16 +242,30 @@ def render_sequence_sharded(
     lanes_local = _split_lanes(config, lanes_total, lane_axis)
 
     nang = len(angles_deg)
-    pad = (-nang) % frame_axis
-    angles = np.concatenate([np.asarray(angles_deg, np.float64), np.zeros(pad)])
-    rad = np.radians(angles)
+    full_len = nang + ((-nang) % frame_axis)
+    if frames_per_batch <= 0:
+        # default to the same canvas/working-set memory cap the single-device
+        # batched path uses (sized with this device's LOCAL lane share)
+        from ..render import _auto_frames_per_batch
+
+        frames_per_batch = _auto_frames_per_batch(
+            config, strategy, lanes_local, chunk_steps
+        )
+    per_batch = frames_per_batch * frame_axis if frames_per_batch > 0 else 0
+    if per_batch <= 0 or per_batch >= full_len:
+        group_len = full_len
+        groups = [np.asarray(angles_deg, np.float64)]
+    else:
+        group_len = per_batch
+        groups = [
+            np.asarray(angles_deg[i:i + per_batch], np.float64)
+            for i in range(0, nang, per_batch)
+        ]
     dt = jnp.dtype(config.dtype)
-    cos_all = jnp.asarray(np.cos(rad), dt)
-    sin_all = jnp.asarray(np.sin(rad), dt)
 
     ckey = _sharded_cache_key(
         config, strategy, lanes_local, chunk_steps, nchunks, devices,
-        ("frames", frame_axis, len(angles), transparent, eight_bit),
+        ("frames", frame_axis, group_len, transparent, eight_bit),
     )
     fn = _SHARDED_CACHE.get(ckey)
     if fn is None:
@@ -278,7 +302,19 @@ def render_sequence_sharded(
             )
         )
         _SHARDED_CACHE[ckey] = fn
-    frames = fn(seed_key(config, key), cos_all, sin_all)
-    # u32-bitcast fast path; gathers the sharded result like device_get
-    host = fetch_image(frames)
-    return host.reshape(host.shape[0], config.height, config.width, -1)[:nang]
+    base_key = seed_key(config, key)
+    outs = []
+    for gi, g in enumerate(groups):
+        rad = np.radians(np.concatenate([g, np.zeros(group_len - len(g))]))
+        cos_all = jnp.asarray(np.cos(rad), dt)
+        sin_all = jnp.asarray(np.sin(rad), dt)
+        # distinct seeds per group (within a group the body folds the frame
+        # index); single-group calls keep the historical key untouched
+        gkey = jax.random.fold_in(base_key, gi) if len(groups) > 1 else base_key
+        frames = fn(gkey, cos_all, sin_all)
+        # u32-bitcast fast path; gathers the sharded result like device_get
+        host = fetch_image(frames)
+        outs.append(
+            host.reshape(host.shape[0], config.height, config.width, -1)[:len(g)]
+        )
+    return outs[0] if len(outs) == 1 else np.concatenate(outs)

@@ -207,7 +207,9 @@ def _bin_fn(config: Config, strategy: BinStrategy, *, vmapped: bool = False):
             # 64 498M iters/s (docs/KERNEL_NOTES.md round-3)
             window = 64
         if window is not None:
-            kwargs["window"] = max(8, int(window))
+            # user values are validated in Config.__post_init__ (multiple of
+            # 8 in [8, 512]); no silent clamping here
+            kwargs["window"] = int(window)
 
         def bin_planes(planes, emitted):
             return fn(*planes, *emitted, **kwargs)

@@ -162,6 +162,32 @@ def test_render_sequence_sharded_fresh_seeds_per_frame(cpu_devices):
     assert iou > 0.5, iou
 
 
+def test_render_sequence_sharded_frames_per_batch(cpu_devices):
+    """frames_per_batch bounds frames per device per program on the mesh
+    path (round-3 advisor finding: the sharded route silently dropped the
+    user's --frames-per-batch memory bound). Grouped and ungrouped runs
+    must agree in shape/dtype and render distinct frames per group."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=128, chunk_steps=32, seed=6,
+    )
+    angles = [0.0, 45.0, 90.0, 135.0, 180.0]
+    frames = render_sequence_sharded(
+        cfg, angles, cpu_devices, frame_axis=2, frames_per_batch=1
+    )
+    # 2-frame groups (frame_axis=2 x 1/device): 3 groups incl. a padded tail
+    assert frames.shape == (5, 27, 48, 4) and frames.dtype == np.uint16
+    for a, b in zip(frames, frames[1:]):
+        assert not np.array_equal(a, b)
+    # identical angles across group boundaries still get distinct seeds
+    dup = render_sequence_sharded(
+        cfg, [0.0, 0.0, 0.0], cpu_devices, frame_axis=2, frames_per_batch=1
+    )
+    assert not np.array_equal(dup[0], dup[2])
+    lit = [(f[..., :3].sum(-1) > 0) for f in dup]
+    iou = (lit[0] & lit[2]).sum() / max(1, (lit[0] | lit[2]).sum())
+    assert iou > 0.5, iou
+
+
 def test_render_sequence_batched_single_device():
     """Frame axis as a vmapped batch on one device (BASELINE configs[4])."""
     from strange_attractor_tpu.render import render_sequence_batched

@@ -33,6 +33,51 @@ def test_merge_shape_mismatch_raises():
         merge(a, b)
 
 
+@pytest.mark.parametrize("bad", [4, 20, 33, 1024, -8])
+def test_kernel_window_validated_up_front(bad):
+    """Off-grid kernel_window values must raise a clear ValueError at
+    Config construction (round-3 advisor finding): the 8-row Mosaic sublane
+    tiling otherwise surfaces them as an opaque compile error (or a
+    minutes-long compile) only on the real chip."""
+    with pytest.raises(ValueError, match="kernel_window"):
+        presets.poisson_saturne(kernel_window=bad)
+
+
+@pytest.mark.parametrize("good", [8, 16, 32, 64, 512, None])
+def test_kernel_window_valid_values_accepted(good):
+    cfg = presets.poisson_saturne(kernel_window=good)
+    assert cfg.kernel_window == good
+
+
+@pytest.mark.parametrize("bad", [64, 100, 96])
+def test_kernel_section_validated_up_front(bad):
+    with pytest.raises(ValueError, match="kernel_section"):
+        presets.poisson_saturne(kernel_section=bad)
+
+
+def test_auto_config_fingerprint_is_backend_free(monkeypatch):
+    """Constructing and fingerprinting a bin_strategy=AUTO Config must not
+    initialize the JAX backend (round-3 verdict item 8): during a TPU-tunnel
+    outage that init hangs forever. Simulate 'uninitialized + would hang' by
+    reporting no live backends and making any default_backend() call raise."""
+    import jax
+    from jax._src import xla_bridge
+
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: False)
+
+    def boom():  # a hang in production; an error here so the test terminates
+        raise AssertionError("Config touched the backend")
+
+    monkeypatch.setattr(jax, "default_backend", boom)
+
+    cfg = presets.poisson_saturne(iterations=10**9)
+    assert cfg.bin_strategy is BinStrategy.AUTO
+    fp = cfg.fingerprint()
+    assert isinstance(fp, bytes) and len(fp) == 32
+    # pre-init AUTO falls back to the conservative scatter chunk buffer
+    assert cfg.resolved_lanes() * cfg.resolved_chunk_steps() <= 1 << 20
+
+
 @pytest.mark.parametrize("strategy", [BinStrategy.EXACT, BinStrategy.PACKED, BinStrategy.DEPTH])
 def test_checkpoint_roundtrip_all_strategies(tmp_path, strategy):
     from strange_attractor_tpu.config import RenderKind
