@@ -60,14 +60,16 @@ def convert_format_device(image_u16, transparent: bool, eight_bit: bool):
 
 def _resolve_fetch_bands(bands: int | None, nbytes: int, words: int) -> int:
     """Band count for a host fetch: explicit arg > ``SAR_FETCH_BANDS`` env >
-    the measured default (2). Without an explicit arg, small transfers
-    (< 2 MB) go in one piece — the per-transfer bookkeeping the bands
-    amortize only matters on multi-MB frames — but an explicit ``bands=``
-    is always honored (probes sweep small frames too)."""
+    the measured default (8: round-4 fresh-array sweep on a 6.2 MB frame —
+    1 band 179 ms, 2 172, 4 170, 8 151, 16 155; the round-3 "2 bands" sweep
+    timed cached host copies and is void). Without an explicit arg, small
+    transfers (< 2 MB) go in one piece — the per-transfer bookkeeping the
+    bands amortize only matters on multi-MB frames — but an explicit
+    ``bands=`` is always honored (probes sweep small frames too)."""
     import os
 
     if bands is None:
-        bands = int(os.environ.get("SAR_FETCH_BANDS", "2"))
+        bands = int(os.environ.get("SAR_FETCH_BANDS", "8"))
         if nbytes < (1 << 21):
             bands = 1
     return max(1, min(int(bands), words))

@@ -65,21 +65,36 @@ def main() -> None:
         if words % bands:
             continue
         per = words // bands
-        # pre-slice outside the timed region: the slice dispatches (~4 ms
-        # each) belong to band *setup*, the question is transfer overlap
-        parts = [packed[i * per : (i + 1) * per] for i in range(bands)]
-        for p in parts:
-            hard_sync(p)
+
+        # FRESH device arrays every rep: jax caches the host copy on the
+        # Array object after the first device_get, so re-fetching the same
+        # slices times a host-side no-op (this probe once reported 9 GB/s
+        # over a ~50 MB/s link that way). The XOR with the rep index cannot
+        # be folded away, so every rep transfers real new bytes; the host
+        # XORs them back for verification.
+        @jax.jit
+        def make_parts(a, r, per=per, bands=bands):
+            x = lax.bitcast_convert_type(a.reshape(-1, 4), jnp.uint32) ^ r
+            return [x[i * per : (i + 1) * per] for i in range(bands)]
+
         best = None
-        for _ in range(reps):
+        host = None
+        for rep in range(reps):
+            parts = make_parts(img, jnp.uint32(rep))
+            for p in parts:
+                hard_sync(p)  # band setup (slices + XOR) is not the question
             t0 = time.perf_counter()
             for p in parts:
                 p.copy_to_host_async()
             host = np.concatenate([np.asarray(jax.device_get(p)) for p in parts])
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        got = np.ascontiguousarray(host).view(np.uint8).reshape(img.shape)
-        np.testing.assert_array_equal(got, direct)
+            got = (
+                np.ascontiguousarray(host ^ np.uint32(rep))
+                .view(np.uint8)
+                .reshape(img.shape)
+            )
+            np.testing.assert_array_equal(got, direct)
         print(
             json.dumps(
                 {
