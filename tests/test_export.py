@@ -1,5 +1,6 @@
 """Export tests: format conversion matrix and PNG/BMP/PAM writers."""
 
+import os
 import struct
 import zlib
 
@@ -158,8 +159,11 @@ def test_native_parallel_deflate_roundtrip():
     call must degrade to stdlib when unavailable."""
     import zlib
 
-    from strange_attractor_tpu.utils.native import zlib_compress_parallel
+    from strange_attractor_tpu.utils.native import get_lib, zlib_compress_parallel
 
+    if os.environ.get("SAR_REQUIRE_NATIVE") and get_lib() is None:
+        pytest.fail("SAR_REQUIRE_NATIVE set but the native lib did not "
+                    "build/load — CI must exercise the native path")
     data = bytes(range(256)) * 20000  # ~5MB, forces the large-payload path
     out = zlib_compress_parallel(data, level=6, threads=4)
     assert zlib.decompress(out) == data
@@ -343,6 +347,9 @@ def test_native_png_filter_matches_numpy():
     from strange_attractor_tpu.utils.native import get_lib, png_filter_adaptive
 
     if get_lib() is None:
+        if os.environ.get("SAR_REQUIRE_NATIVE"):
+            pytest.fail("SAR_REQUIRE_NATIVE set but the native lib did not "
+                        "build/load — CI must exercise the native path")
         pytest.skip("native lib unavailable (no toolchain)")
     rng = np.random.default_rng(7)
     grad = np.linspace(0, 65535, 40 * 30 * 4).reshape(40, 30, 4)
