@@ -317,6 +317,16 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     _validate(args, parser)
 
+    if getattr(args, "exact16_ties", "value") == "earliest":
+        # the earliest-ties discipline rides a packed u64 sort key when
+        # 64-bit types are enabled (ops/kernel_binning.py: 2.07 -> 1.60
+        # ns/pt on v5e); nothing has traced yet, so flipping the flag here
+        # is safe and the f32 render path is x64-clean (the f64 escape
+        # hatch runs the same code; kernels certified by check_kernels --x64)
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     if args.subcommand == "completion":
         from .utils.completion import completion_script, install_completion
 

@@ -214,3 +214,79 @@ def test_end_to_end_render_close_to_exact():
     img_ex = np.asarray(convert_format(colorize(cfg, st_ex), False, True))
     mad = np.abs(img16.astype(np.float64) - img_ex.astype(np.float64)).mean() / 255
     assert mad < 0.02, mad
+
+
+# --- the u64 earliest-ties fast path (jax_enable_x64 only) ---------------
+
+
+def _run_x64(npix, flat, z, val, section=1 << 10, state=None):
+    """Run ties='earliest' with x64 enabled, taking the u64 key branch."""
+    import jax
+
+    with jax.enable_x64(True):
+        assert jax.config.jax_enable_x64
+        return _run(npix, flat, z, val, section=section, state=state,
+                    ties="earliest")
+
+
+def test_u64_earliest_matches_stable_3op_random_stream():
+    """The u64 single-key sort (flat | bucket | emission) must be
+    bit-identical to the stable 3-operand fallback: emission bits make
+    every key unique, so the unstable sort induces the same total order
+    the stable sort does."""
+    rng = np.random.default_rng(11)
+    npix = 1024
+    n = 6000  # multiple sections at section=1<<10, plus a padded tail
+    flat = rng.integers(0, npix + 1, n)  # incl. out-of-bounds
+    z = rng.normal(0, 0.7, n).astype(np.float32)
+    z[rng.random(n) < 0.05] = -np.inf  # dead points
+    z[rng.random(n) < 0.05] = -0.0
+    val = rng.normal(0, 2.0, n).astype(np.float32)
+    # concentrate collisions: many same-pixel same-bucket ties
+    flat[rng.random(n) < 0.3] = 7
+    z[rng.random(n) < 0.3] = np.float32(0.5)
+    want = _run(npix, flat, z, val, ties="earliest")
+    got = _run_x64(npix, flat, z, val)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_u64_earliest_semantics_direct():
+    """The contract clauses hold on the u64 branch itself: same-bucket
+    earliest wins, dead points never win, cross-chunk ties keep standing."""
+    npix = 128
+    z_hi = np.float32(0.5 * (1 + 3 / 256))
+    z_lo = np.float32(0.5 * (1 + 2.5 / 256))
+    assert _q_edge(z_hi) == _q_edge(z_lo)
+    cnt, st, zb = _run_x64(npix, [3, 3], [z_lo, z_hi], [11.0, 22.0])
+    assert float(st[3]) == 11.0  # earliest of the tied bucket
+    cnt, st, zb = _run_x64(npix, [9, 9, 9], [-1.0, -2.0, -np.inf],
+                           [5.0, 6.0, 7.0])
+    assert int(cnt[9]) == 3 and float(st[9]) == 0.0 and float(zb[9]) == -1.0
+    state = _run_x64(npix, [4], [np.float32(0.5)], [1.0])
+    state = _run_x64(npix, [4], [np.float32(0.5 * (1 + 1 / 512))], [9.0],
+                     state=state)
+    assert float(state[1][4]) == 1.0  # standing chunk keeps the bucket tie
+
+
+def test_u64_earliest_end_to_end_render_matches_x64_off():
+    """Full render() with ties='earliest' under jax_enable_x64 (the CLI
+    enables it for --exact16-ties earliest) must produce bit-identical
+    planes to the x64-off stable-sort run — the u64 key path changes the
+    sort machinery only, and the f32 map loop is x64-clean."""
+    import jax
+
+    from strange_attractor_tpu import presets, render
+    from strange_attractor_tpu.config import BinStrategy
+
+    cfg = presets.poisson_saturne(
+        iterations=90_000, width=96, height=54, lanes=128, chunk_steps=64,
+        warmup=200, seed=9, bin_strategy=BinStrategy.EXACT16_KERNEL,
+        exact16_ties="earliest",
+    )
+    want = render(cfg)
+    with jax.enable_x64(True):
+        got = render(cfg)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.steps), np.asarray(want.steps))
+    np.testing.assert_array_equal(np.asarray(got.zbuf), np.asarray(want.zbuf))

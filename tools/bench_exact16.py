@@ -30,6 +30,10 @@ def main() -> int:
     enable_compilation_cache()
     iters = int(float(sys.argv[1])) if len(sys.argv) > 1 else int(1e9)
     ties = sys.argv[2] if len(sys.argv) > 2 else "earliest"
+    if ties == "earliest":
+        # same switch the CLI flips: the earliest discipline rides the
+        # packed u64 sort key when 64-bit types are on (kernel_binning.py)
+        jax.config.update("jax_enable_x64", True)
 
     cfg = presets.poisson_saturne(
         iterations=iters, width=1920, height=1080,
