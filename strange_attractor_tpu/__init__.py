@@ -50,6 +50,7 @@ from .render import (
     render_parallel,
     render_sequence,
     render_sequence_batched,
+    render_sequence_shared,
 )
 
 __version__ = "0.1.0"
@@ -78,4 +79,5 @@ __all__ = [
     "render_parallel",
     "render_sequence",
     "render_sequence_batched",
+    "render_sequence_shared",
 ]

@@ -40,6 +40,8 @@ _KERNEL_CACHE: dict = {}
 DISPATCH_GROUP = 64
 # compiled vmapped sequence-batch programs (see render_sequence_batched)
 _BATCHED_CACHE: dict = {}
+# compiled shared-orbit sequence programs (see render_sequence_shared)
+_SHARED_SEQ_CACHE: dict = {}
 
 
 def _dtype(config: Config):
@@ -102,37 +104,120 @@ def _step_fn(config: Config, cam, strategy: BinStrategy):
         nx, ny, nz = step_xyz(x, y, z)
         sx, sy, sz = rotate_xyz(cam, nx, ny, nz, jnp)
         fi, fj, z2 = project(cam, sx, sy, sz, cos_v, sin_v, jnp)
-        dt = fi.dtype
         # clamp at 1 so a lane never overflows int32 on huge renders;
         # negative while a reseeded lane re-warms (emit when > 0)
         age = jnp.minimum(age + 1, jnp.int32(1))
-        # Replicate the reference bounds check exactly (src/lib.rs:789): a
-        # point is SKIPPED iff i>=W or j>=H or i<0 or j<0. NaN coordinates
-        # (escaped orbits: inf -> NaN after a few steps) fail all four
-        # comparisons, PASS the check, and the saturating `as u32` cast bins
-        # them at pixel (0,0) (src/lib.rs:799-812) — inflating `max` there
-        # and dimming the tone map. That is part of the reference's output
-        # for escaping presets (solar-sail), so it is preserved.
-        zero = jnp.asarray(0.0, dt)
-        oob = (fi >= W) | (fj >= H) | (fi < zero) | (fj < zero)
-        inb = ~oob & (age > 0)
-        ii = jnp.nan_to_num(fi, nan=0.0).astype(jnp.int32)
-        jj = jnp.nan_to_num(fj, nan=0.0).astype(jnp.int32)
-        flat = jnp.where(inb, jj * W + ii, jnp.int32(npix))
-        # NaN z never wins the z-test (NaN > zbuf is false, src/lib.rs:821);
-        # -inf is the scatter-max-safe equivalent
-        z2 = jnp.where(jnp.isnan(z2), -jnp.inf, z2)
         val = transform(nx - px, ny - py, nz - pz, sx, sy, sz, view)
+        emitted = _finish_emit(strategy, npix, W, H, fi, fj, z2, val, age > 0)
         # previous point advances even when out of bounds (src/lib.rs:789-795)
-        if strategy.planes_kind() == BinStrategy.PACKED:  # PACKED and KERNEL
-            emitted = (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
-        elif strategy.planes_kind() == BinStrategy.DEPTH:  # DEPTH and DEPTH_KERNEL
-            emitted = (flat, z2.astype(jnp.float32))
-        else:
-            emitted = (flat, z2.astype(jnp.float32), val.astype(jnp.float32))
         return (nx, ny, nz, nx, ny, nz, age, cos_v, sin_v), emitted
 
     return step
+
+
+def _finish_emit(strategy: BinStrategy, npix: int, W: int, H: int,
+                 fi, fj, z2, val, gate):
+    """Pixel-coordinate bounds check + strategy packing for one point batch.
+
+    Shared tail of :func:`_step_fn` (fused map step) and
+    :func:`_project_emit` (the shared-orbit sequence path), so both emit the
+    bit-identical ``(flat, payload...)`` stream for the same inputs.
+
+    ``gate`` is the emission gate (``age > 0``; ``None`` means all-true —
+    reseed-free shared orbits skip materializing the constant).
+    """
+    dt = fi.dtype
+    # Replicate the reference bounds check exactly (src/lib.rs:789): a
+    # point is SKIPPED iff i>=W or j>=H or i<0 or j<0. NaN coordinates
+    # (escaped orbits: inf -> NaN after a few steps) fail all four
+    # comparisons, PASS the check, and the saturating `as u32` cast bins
+    # them at pixel (0,0) (src/lib.rs:799-812) — inflating `max` there
+    # and dimming the tone map. That is part of the reference's output
+    # for escaping presets (solar-sail), so it is preserved.
+    zero = jnp.asarray(0.0, dt)
+    oob = (fi >= W) | (fj >= H) | (fi < zero) | (fj < zero)
+    inb = ~oob if gate is None else ~oob & gate
+    ii = jnp.nan_to_num(fi, nan=0.0).astype(jnp.int32)
+    jj = jnp.nan_to_num(fj, nan=0.0).astype(jnp.int32)
+    flat = jnp.where(inb, jj * W + ii, jnp.int32(npix))
+    # NaN z never wins the z-test (NaN > zbuf is false, src/lib.rs:821);
+    # -inf is the scatter-max-safe equivalent
+    z2 = jnp.where(jnp.isnan(z2), -jnp.inf, z2)
+    if strategy.planes_kind() == BinStrategy.PACKED:  # PACKED and KERNEL
+        return (flat, binning.pack_zv(z2.astype(jnp.float32), val.astype(jnp.float32)))
+    if strategy.planes_kind() == BinStrategy.DEPTH:  # DEPTH and DEPTH_KERNEL
+        return (flat, z2.astype(jnp.float32))
+    return (flat, z2.astype(jnp.float32), val.astype(jnp.float32))
+
+
+def _step_fn_shared(config: Config, cam, strategy: BinStrategy):
+    """Camera-angle-independent half of :func:`_step_fn`.
+
+    For a rotation sequence only :func:`ops.projection.project` depends on
+    the per-frame angle — the attractor step, the view rotation, the color
+    transform value, and even the vertical pixel coordinate ``fj`` (the
+    angle rotates about the vertical screen axis, src/lib.rs:776-786) are
+    frame-invariant. This step emits exactly those invariants per point:
+
+        xc  = sx + cc.x          (the angle-rotation operands of project())
+        zc  = sz + cc.y
+        fj  = H/2 - (sy + cc.z) * width*scale
+        val = color transform value (omitted for DEPTH-kind strategies)
+        gate (only when ``config.reseed_lanes``: re-warming lanes emit-gate)
+
+    :func:`_project_emit` turns them into any frame's ``(flat, payload)``
+    stream with four multiplies — bit-identical to the fused step's output
+    for the same orbit (pinned in tests/test_sequence_shared.py).
+    """
+    step_xyz = as_xyz_step(config.attractor)
+    transform = as_xyz_transform(config.color_transform)
+    view = config.view
+    W, H = config.width, config.height
+    emit_val = strategy.planes_kind() != BinStrategy.DEPTH
+    emit_gate = bool(config.reseed_lanes)
+
+    def step(carry, _):
+        x, y, z, px, py, pz, age = carry
+        nx, ny, nz = step_xyz(x, y, z)
+        sx, sy, sz = rotate_xyz(cam, nx, ny, nz, jnp)
+        dt = sx.dtype
+        age = jnp.minimum(age + 1, jnp.int32(1))
+        xc = sx + jnp.asarray(cam.center_camera[0], dt)
+        zc = sz + jnp.asarray(cam.center_camera[1], dt)  # cc.y<->z quirk
+        fj = jnp.asarray(cam.height / 2.0, dt) - (
+            sy + jnp.asarray(cam.center_camera[2], dt)
+        ) * jnp.asarray(cam.width_scaled, dt)
+        emitted = [xc, zc, fj]
+        if emit_val:
+            emitted.append(transform(nx - px, ny - py, nz - pz, sx, sy, sz, view))
+        if emit_gate:
+            emitted.append(age > 0)
+        return (nx, ny, nz, nx, ny, nz, age), tuple(emitted)
+
+    return step
+
+
+def _project_emit(config: Config, cam, strategy: BinStrategy,
+                  cos_v, sin_v, emitted):
+    """Finish one frame's emission from a shared-orbit point chunk.
+
+    Applies the only angle-dependent math of src/lib.rs:776-786 —
+    ``x2 = xc cos + zc sin``, ``z2 = xc sin - zc cos``, the horizontal pixel
+    coordinate — then the shared :func:`_finish_emit` tail. The expressions
+    match :func:`ops.projection.project` term for term so the resulting
+    stream is bit-identical to the fused single-frame path's.
+    """
+    W, H = config.width, config.height
+    npix = W * H
+    emit_val = strategy.planes_kind() != BinStrategy.DEPTH
+    xc, zc, fj = emitted[:3]
+    val = emitted[3] if emit_val else jnp.zeros((), xc.dtype)
+    gate = emitted[-1] if config.reseed_lanes else None
+    dt = xc.dtype
+    x2 = xc * cos_v + zc * sin_v
+    z2 = xc * sin_v - zc * cos_v
+    fi = (jnp.asarray(cam.scale_adjusted_mid, dt) - x2) * jnp.asarray(cam.width_scaled, dt)
+    return _finish_emit(strategy, npix, W, H, fi, fj, z2, val, gate)
 
 
 def _split_xyz(p):
@@ -808,6 +893,170 @@ def render_sequence_batched(
         # fetch instead of idling (u32-bitcast fast path: narrow-dtype
         # fetches run ~2.7x slower). Holds at most two batches of
         # converted frames on device (~6 MB/frame for the 8-bit case).
+        if pending is not None:
+            out.append(fetch_image(pending))
+        pending = imgs
+    out.append(fetch_image(pending))
+    return np.concatenate(out, axis=0).reshape(len(angles), *shape, -1)
+
+
+def _canvas_body_shared(
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int
+):
+    """Shared-orbit sequence render as a pure function
+    ``(key, cos_vec, sin_vec) -> stacked accumulator planes (F, ...)``.
+
+    One orbit (seed + 1000-step warm-up + map scan) serves every frame: each
+    chunk's frame-invariant emission (:func:`_step_fn_shared`) is finished
+    per frame by :func:`_project_emit` and binned inside a ``lax.scan`` over
+    the frame axis. The frame scan (not vmap) keeps only ONE frame's sort
+    buffers live at a time and lets the pixel-0 flood gate stay a real
+    branch (a vmapped cond executes both pipelines, docs/KERNEL_NOTES.md
+    round 3) — but it also serializes the per-frame sorts the vmapped body
+    hands XLA as one batched kernel, which is why this path measured ~20%
+    SLOWER than :func:`_canvas_body` at 1e7 iters/frame (KERNEL_NOTES
+    round 4). Use it for its semantics (shared samples, bounded memory),
+    not throughput.
+    """
+    cam = camera_params(config.view, 0.0, config.width, config.height)
+    dt = _dtype(config)
+    step = _step_fn_shared(config, cam, strategy)
+    npix = config.width * config.height
+    bin_planes = _bin_fn(config, strategy)
+
+    def body(key, cos_vec, sin_vec):
+        cur = _seed_warm(config, lanes, dt, key)
+        prev = cur
+        age = jnp.zeros((lanes,), jnp.int32)
+        rkey = jax.random.fold_in(key, 0x5EED)
+        blank = _state_to_planes(RenderState.blank((npix,), strategy), strategy)
+        nframes = cos_vec.shape[0]
+        planes = tuple(jnp.broadcast_to(p, (nframes, *p.shape)) for p in blank)
+
+        def chunk(carry, _):
+            planes, cur, prev, age, rkey = carry
+            if config.reseed_lanes:
+                rkey, cur, prev, age = _reseed_dead_lanes(config, rkey, cur, prev, age, dt)
+            (x, y, z, px, py, pz, age), em = lax.scan(
+                step, (*_split_xyz(cur), *_split_xyz(prev), age),
+                None, length=chunk_steps, unroll=8,
+            )
+            cur, prev = _join_xyz(x, y, z), _join_xyz(px, py, pz)
+            em = tuple(e.reshape(-1) for e in em)
+
+            def frame(_, xs):
+                pl, cos_v, sin_v = xs
+                return None, bin_planes(
+                    pl, _project_emit(config, cam, strategy, cos_v, sin_v, em)
+                )
+
+            _, planes = lax.scan(frame, None, (planes, cos_vec, sin_vec))
+            return (planes, cur, prev, age, rkey), None
+
+        (planes, _, _, _, _), _ = lax.scan(
+            chunk, (planes, cur, prev, age, rkey), None, length=nchunks
+        )
+        return planes
+
+    return body
+
+
+def render_sequence_shared(
+    config: Config,
+    angles_deg,
+    key=None,
+    frames_per_batch: Optional[int] = None,
+    transparent: bool = True,
+    eight_bit: bool = False,
+) -> np.ndarray:
+    """Render a camera-rotation sequence from ONE shared trajectory orbit.
+
+    Same contract as :func:`render_sequence_batched` — returns (F, H, W, C)
+    frames ordered like ``angles_deg`` — but all frames in a batch bin the
+    SAME orbit sample set instead of each drawing its own. Per batch, every
+    frame is bit-identical to a single :func:`render` of that batch's orbit
+    key at that frame's angle (pinned in tests/test_sequence_shared.py), so
+    per-frame fidelity is exactly a normal render's; across frames the
+    sampling noise is coherent (points slide with the camera) instead of
+    re-drawn, which reads as temporally smoother animation. The reference
+    draws fresh OS entropy per frame (src/bin/main.rs:496-512, lib.rs:656)
+    — for that statistically independent behavior use
+    :func:`render_sequence_batched` (CLI ``--orbit per-frame``).
+
+    Only the horizontal-projection multiplies depend on the camera angle,
+    so the seed + 1000-iteration warm-up (src/lib.rs:748-752) and the whole
+    map loop run ONCE per batch instead of once per frame, and only ONE
+    frame's sort buffers are live at a time (the frame axis is a scan, not
+    a vmap). Measured on v5e this is NOT faster than the vmapped per-frame
+    path (12.9 vs 16.3 frames/s at 1e7 iters/frame, 120 frames): the vmap
+    amortizes per-step dispatch overhead across frames and batches all
+    frames' sorts into one wide kernel, which outweighs the saved warm-ups
+    (docs/KERNEL_NOTES.md round 4). Choose it for the temporal coherence
+    and the bounded working set, not for throughput.
+
+    ``frames_per_batch`` bounds device memory (default ~2 GB of canvases);
+    each batch renders its own orbit (``fold_in(base, batch_start)``).
+    """
+    strategy = config.resolved_bin_strategy(jax.default_backend())
+    angles = np.asarray(list(angles_deg), np.float64)
+    if config.iterations < 1 or angles.size == 0:
+        # blank frames carry no orbit: identical to the batched path's result
+        return render_sequence_batched(
+            config, angles, key, frames_per_batch,
+            transparent=transparent, eight_bit=eight_bit,
+        )
+    from .parallel.mesh import planes_to_state
+    from .utils.export import convert_format_device, fetch_image
+
+    lanes, chunk_steps, nchunks = plan_schedule(config)
+    body = _canvas_body_shared(config, strategy, lanes, chunk_steps, nchunks)
+    shape = (config.height, config.width)
+
+    def seq(k, cos_vec, sin_vec):
+        planes = body(k, cos_vec, sin_vec)
+
+        def col(*pl):
+            st = planes_to_state(pl, strategy, shape)
+            img = colorize_planes(config, *state_planes(st))
+            # flat (H*W*C,) on device: a (F, H, W, 4) u16 batch pads the
+            # 4-wide minor dim to 128 lanes (32x HBM) — host reshapes back
+            return convert_format_device(img, transparent, eight_bit).reshape(-1)
+
+        return jax.vmap(col)(*planes)
+
+    ckey = (
+        config.replace(angle=0.0, iterations=1, lanes=lanes,
+                       chunk_steps=chunk_steps).fingerprint(),
+        strategy.value, nchunks, bool(transparent), bool(eight_bit),
+    )
+    fn = _SHARED_SEQ_CACHE.get(ckey)
+    if fn is None:
+        fn = jax.jit(seq)
+        _SHARED_SEQ_CACHE[ckey] = fn
+
+    if frames_per_batch is None:
+        # canvas-bound only: unlike the vmapped path the chunk working set
+        # is shared across frames and the frame scan reuses one frame's
+        # sort buffers, so _auto_frames_per_batch's 6 GB working-set term
+        # does not apply
+        kind = strategy.planes_kind()
+        npix = config.width * config.height
+        plane_bytes = {BinStrategy.EXACT: 12, BinStrategy.PACKED: 8,
+                       BinStrategy.DEPTH: 4}[kind]
+        frames_per_batch = max(1, int(2e9 / max(1, npix * (plane_bytes + 8))))
+
+    rad = np.radians(angles)
+    dt = _dtype(config)
+    base = seed_key(config, key)
+    out = []
+    pending = None
+    for lo in range(0, len(angles), frames_per_batch):
+        hi = min(lo + frames_per_batch, len(angles))
+        bkey = jax.random.fold_in(base, lo)
+        imgs = fn(bkey, jnp.asarray(np.cos(rad[lo:hi]), dt),
+                  jnp.asarray(np.sin(rad[lo:hi]), dt))
+        # overlap: enqueue batch N+1 before fetching batch N (see
+        # render_sequence_batched)
         if pending is not None:
             out.append(fetch_image(pending))
         pending = imgs

@@ -150,6 +150,18 @@ def test_sequence_batched_flag(tmp_path):
     assert names == ["anim0.png", "anim1.png", "anim2.png"]
 
 
+def test_sequence_shared_orbit_flag(tmp_path):
+    out = tmp_path / "anim"
+    assert main(FAST + ["-o", str(out), "sequence", "-s", "0", "-e", "3", "-d", "1",
+                        "--frames-per-batch", "2", "--orbit", "shared"]) == 0
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["anim0.png", "anim1.png", "anim2.png"]
+    # shared orbits render whole batches at once; the serial frame loop
+    # (frames-per-batch 0) has no shared-orbit analog
+    with pytest.raises(SystemExit):
+        main(FAST + ["sequence", "--orbit", "shared"])
+
+
 def test_preset_scale_preserved_unless_overridden():
     from strange_attractor_tpu.models import presets as _presets
 

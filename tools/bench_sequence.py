@@ -35,7 +35,8 @@ def main() -> None:
     from strange_attractor_tpu.ops.colorize import colorize_planes, state_planes
     from strange_attractor_tpu.parallel.mesh import planes_to_state
     from strange_attractor_tpu.render import (
-        _auto_frames_per_batch, _canvas_body, _dtype, plan_schedule, seed_key,
+        _auto_frames_per_batch, _canvas_body, _canvas_body_shared, _dtype,
+        plan_schedule, seed_key,
     )
     from strange_attractor_tpu.utils.export import fetch_image
     from strange_attractor_tpu.utils.profiling import (
@@ -94,6 +95,39 @@ def main() -> None:
     last = run(batches)
     device_s = time.perf_counter() - t0
 
+    # shared-orbit variant (render_sequence_shared's device program): one
+    # warm-up + map per batch, per-frame binning from the shared chunk
+    # emission — same u16 RGBA colorize output for apples-to-apples timing
+    body_shared = _canvas_body_shared(cfg, strategy, lanes, chunk, nchunks)
+
+    def seq_dev(k, cos_vec, sin_vec):
+        planes = body_shared(k, cos_vec, sin_vec)
+
+        def col(*pl):
+            st = planes_to_state(pl, strategy, shape)
+            return colorize_planes(cfg, *state_planes(st)).reshape(-1)
+
+        return jax.vmap(col)(*planes)
+
+    fn_shared = jax.jit(seq_dev)
+
+    def run_shared(lo_hi_pairs):
+        last = None
+        for lo, hi in lo_hi_pairs:
+            last = fn_shared(jax.random.fold_in(base, lo),
+                             jnp.asarray(np.cos(rad[lo:hi]), dt),
+                             jnp.asarray(np.sin(rad[lo:hi]), dt))
+            float(last.ravel()[0])
+        return last
+
+    run_shared(batches[:1])
+    if batches[-1][1] - batches[-1][0] != fpb:
+        run_shared(batches[-1:])
+    t0 = time.perf_counter()
+    last_shared = run_shared(batches)
+    shared_s = time.perf_counter() - t0
+    assert float(last_shared.ravel().max()) > 0
+
     # one-frame fetch cost, measured separately (u16 RGBA deliverable)
     t0 = time.perf_counter()
     host = fetch_image(last[-1]).reshape(1080, 1920, 4)
@@ -140,6 +174,9 @@ def main() -> None:
         "frames_per_batch": fpb,
         "device_s": round(device_s, 3),
         "iters_per_sec": round(total_iters / device_s, 1),
+        "shared_orbit_device_s": round(shared_s, 3),
+        "shared_orbit_frames_per_sec": round(frames / shared_s, 3),
+        "shared_orbit_iters_per_sec": round(total_iters / shared_s, 1),
         "fetch_s_per_frame_u16rgba": round(fetch_s, 3),
         "e2e_8bit_s": round(e2e_s, 3),
         "e2e_frames_per_sec": round(frames / e2e_s, 3),
