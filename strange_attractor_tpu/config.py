@@ -285,15 +285,23 @@ class Config:
         src/lib.rs:1058 gives ~1e6-1e7 steps per work unit)."""
         if self.lanes is not None:
             return max(1, int(self.lanes))
-        # POWER-OF-TWO lanes, capped at 32768 and sized so steps/lane stays
-        # >= ~16k (warm-up overhead <= ~6%). Round-4 1e9 ladder on v5e:
-        # (32768, 128) 543.7M > (16384, 256) 539.4M > (30464, 137) 529.8M —
-        # non-power-of-2 lanes cost ~2.6% (ragged emission reshape /
-        # section geometry), and doubling lanes at the same 4M chunk buffer
-        # hides more VPU dependency latency per scan step
-        # (docs/KERNEL_NOTES.md round 4).
-        target = max(256, min(32_768, self.iterations // 16_384))
-        return 1 << (target.bit_length() - 1)
+        # POWER-OF-TWO lanes (non-pow2 cost ~2.6%: ragged emission reshape /
+        # section geometry), nearest to iterations/4000, clamped [512, 32768].
+        # The divisor comes from measured per-size ladders on v5e with the
+        # buffer-filling chunk schedule (round 4, docs/KERNEL_NOTES.md):
+        #   1e6: 512 lanes 25.5M > 1024 22.6 > 2048 23.2 > 256 9.5
+        #   1e7: 2048 187.2M > 4096 183.9 > 8192 179.4 > 1024 163 > 512 140
+        #   1e8: 32768 460.8M > 8192 454.3 > 16384 448.8 > 4096 440.1
+        #   1e9: 32768 543.7M > 16384 539.4 (round-4 schedule ladder)
+        # More lanes hide VPU dependency latency per scan step but pay the
+        # 1000-step warm-up on every lane; iterations/4000 tracks every
+        # measured optimum. The old steps/lane >= 16k rule over-shrank small
+        # renders (1e7 landed on 512 lanes = 140M).
+        target = max(512, min(32_768, self.iterations // 4_000))
+        pow2 = 1 << (target.bit_length() - 1)
+        if target - pow2 > 2 * pow2 - target:  # round to nearest power of 2
+            pow2 <<= 1
+        return pow2
 
     def resolved_chunk_steps(self) -> int:
         if self.chunk_steps is not None:
@@ -324,7 +332,14 @@ class Config:
             resolved = self.bin_strategy
         scatter = (BinStrategy.PACKED, BinStrategy.EXACT, BinStrategy.DEPTH)
         buf = 1 << 20 if resolved in scatter else 1 << 22
-        return max(1, min(512, buf // lanes))
+        # fill the chunk buffer even at small lane counts: the old 512-step
+        # cap left low-iteration schedules (auto lanes 512 at 1e7 iters) on
+        # 262k-POINT chunks with 2^15 sections, where the apply's window
+        # sweep costs ~15 points/visit — measured 35.0 ns/pt vs 3.5 at 4M
+        # chunks on the SAME data (tools/probe_vmap_binning.py round 4,
+        # 10x on the reference's 1e7 CLI-default workload). The 16384-step
+        # cap bounds scan length for hand-set tiny lane counts.
+        return max(1, min(16_384, buf // lanes))
 
     def resolved_bin_strategy(self, platform: str) -> BinStrategy:
         if self.bin_strategy != BinStrategy.AUTO:

@@ -73,11 +73,20 @@ def plan_schedule(config: Config) -> tuple[int, int, int]:
     Like the reference's integer work split (src/lib.rs:1058), the executed
     count may differ slightly from the request; set ``lanes``/``chunk_steps``
     to divisors for exact counts.
+
+    Chunks are EVENED: nchunks is fixed first (ceil at the buffer-sized
+    chunk), then the chunk length is re-derived from it. With big chunk
+    buffers at small lane counts (resolved_chunk_steps round-4 fix), naive
+    round-at-the-cap scheduling could execute up to ~25% off the request
+    (1e7 at 512 lanes: 2 chunks of 8192 steps = 8.4M); evening keeps the
+    executed count within one lane-step round while ceil keeps every chunk
+    within the measured point-buffer optimum.
     """
     lanes = config.resolved_lanes()
     target_steps = max(1, round(config.iterations / lanes))
     chunk = min(config.resolved_chunk_steps(), target_steps)
-    nchunks = max(1, round(target_steps / chunk))
+    nchunks = max(1, -(-target_steps // chunk))
+    chunk = max(1, round(target_steps / nchunks))
     return lanes, chunk, nchunks
 
 

@@ -1,15 +1,18 @@
 """Why does the vmapped sequence binning run ~3x slower per point than the
-flagship's (5.5 vs 1.7 ns/pt)?
+flagship's (5.5 vs 1.7 ns/pt) — and what schedule fixes it?
 
 probe_sequence_phases.py pinned 95% of sequence device time on the binning
-(warm-up 1%, map 1%, colorize 3%). This probe isolates WHERE inside the
-vmapped bin the inefficiency lives, timing on real emitted data at the
-SEQUENCE schedule (1e7 iters/frame => chunk_steps 152, ~5M-pt chunks):
+(warm-up 1%, map 1%, colorize 3%). First run of this probe found the real
+culprit: at 1e7 iters/frame the auto schedule resolves to lanes=512,
+chunk_steps=512 — 262k-POINT CHUNKS with 2^15 sections, where the apply's
+per-section window sweep costs ~15 points per window visit (flagship
+4M-point chunks: ~1000). Measured: single-frame bin 32.4 ns/pt, vmap(60)
+6.3 ns/pt, vs the flagship's ~1.7.
 
-  - single-frame bin_chunk_kernel (the flagship pipeline, baseline)
-  - vmap(bin) over F frames       (what render_sequence_batched executes)
-  - single-frame sort (_sections) only
-  - vmap(sort) over F frames
+This probe sweeps chunk size at CONSTANT lanes=512 on real emitted data
+(concatenated steady-state chunks of the actual 1e7 orbit), single-frame
+and vmapped, to size the fix: raise chunk_steps (the 4M-point buffer /
+lanes) instead of raising lanes — warm-up cost stays at 512 lanes.
 
 In-jit scan repetition, XOR-perturbed, best-of-2. Compare ratios.
 
@@ -51,8 +54,6 @@ def main() -> None:
     lanes, chunk_steps, nchunks = R.plan_schedule(cfg)
     n = lanes * chunk_steps
     npix = cfg.width * cfg.height
-    section = cfg.resolved_kernel_section()
-    kwargs = dict(npix=npix, section=section, flood_gate=False)
 
     cam = R.camera_params(cfg.view, 0.0, cfg.width, cfg.height)
     dt = R._dtype(cfg)
@@ -69,14 +70,13 @@ def main() -> None:
 
     carry = (*R._split_xyz(p0), *R._split_xyz(p0),
              jnp.zeros((lanes,), jnp.int32), cos_v, sin_v)
-    carry, (flat, packed) = advance(carry)  # second chunk = steady state
-    carry, (flat, packed) = advance(carry)
-
-    # F per-frame variants: same pixel distribution (frames differ only by
-    # camera angle in production), per-frame value bits perturbed
-    salts = jnp.arange(F, dtype=jnp.uint32)[:, None]
-    packed_f = packed[None, :] ^ salts
-    flat_f = jnp.broadcast_to(flat, (F, n))
+    carry, _ = advance(carry)  # discard the cold first chunk
+    parts = []
+    for _ in range(16):  # 16 real steady-state chunks = a 4.2M-point stream
+        carry, em = advance(carry)
+        parts.append(em)
+    flat_all = jnp.concatenate([p[0] for p in parts])
+    packed_all = jnp.concatenate([p[1] for p in parts])
 
     def bench(name, fn, per_pt, *args):
         jfn = jax.jit(fn)
@@ -93,54 +93,56 @@ def main() -> None:
                           "ns_per_pt": round(best / (K * per_pt) * 1e9, 3)}),
               flush=True)
 
-    def single_bin(cnt, pk, f, p):
-        def body(c, _):
-            cnt, pk = c
-            ff = f ^ (cnt[0] & 1).astype(jnp.int32)
-            return kb.bin_chunk_kernel(cnt, pk, ff, p, **kwargs), None
-        c, _ = lax.scan(body, (cnt, pk), None, length=K)
-        return c
+    def section_for(chunk_pts: int) -> int:
+        target = max(128, chunk_pts // 8)
+        pow2 = 1 << (target.bit_length() - 1)
+        if target - pow2 > 2 * pow2 - target:
+            pow2 <<= 1
+        return max(1 << 14, min(1 << 19, pow2))
 
-    def vmap_bin(cnt, pk, f, p):
-        inner = functools.partial(kb.bin_chunk_kernel, **kwargs)
-        def body(c, _):
-            cnt, pk = c
-            ff = f ^ (cnt[0, 0] & 1).astype(jnp.int32)
-            return jax.vmap(inner)(cnt, pk, ff, p), None
-        c, _ = lax.scan(body, (cnt, pk), None, length=K)
-        return c
-
-    def single_sort(f, p):
-        def body(s, _):
-            ff = f ^ (s & 1).astype(jnp.int32)
-            arrays, *_ = kb._sections(npix, ff, [p], section, [jnp.uint32(0)],
-                                      stable=False)
-            return s + arrays[0][0, 0, 0].astype(jnp.int32), None
-        s, _ = lax.scan(body, jnp.int32(0), None, length=K)
-        return s
-
-    def vmap_sort(f, p):
-        def one(ff, pp):
-            arrays, *_ = kb._sections(npix, ff, [pp], section, [jnp.uint32(0)],
-                                      stable=False)
-            return arrays[0][0, 0, 0].astype(jnp.int32)
-        def body(s, _):
-            ff = f ^ (s & 1).astype(jnp.int32)
-            return s + jax.vmap(one)(ff, p).sum(), None
-        s, _ = lax.scan(body, jnp.int32(0), None, length=K)
-        return s
+    print(json.dumps({"schedule": [lanes, chunk_steps, nchunks], "n": n,
+                      "F": F}), flush=True)
 
     cnt1 = jnp.zeros((npix,), jnp.uint32)
     pk1 = jnp.zeros((npix,), jnp.uint32)
-    cntF = jnp.zeros((F, npix), jnp.uint32)
-    pkF = jnp.zeros((F, npix), jnp.uint32)
 
-    print(json.dumps({"schedule": [lanes, chunk_steps, nchunks], "n": n,
-                      "F": F, "section": section}), flush=True)
-    bench("single-frame sort", single_sort, n, flat, packed)
-    bench("single-frame bin (flagship)", single_bin, n, cnt1, pk1, flat, packed)
-    bench(f"vmap({F}) sort", vmap_sort, F * n, flat_f, packed_f)
-    bench(f"vmap({F}) bin (sequence)", vmap_bin, F * n, cntF, pkF, flat_f, packed_f)
+    for mult in (1, 4, 8, 16):
+        m = mult * n
+        flat = flat_all[:m]
+        packed = packed_all[:m]
+        kwargs = dict(npix=npix, section=section_for(m), flood_gate=False)
+
+        def single_bin(cnt, pk, f, p, kwargs=kwargs):
+            def body(c, _):
+                cnt, pk = c
+                ff = f ^ (cnt[0] & 1).astype(jnp.int32)
+                return kb.bin_chunk_kernel(cnt, pk, ff, p, **kwargs), None
+            c, _ = lax.scan(body, (cnt, pk), None, length=K)
+            return c
+
+        bench(f"single bin, chunk {m} (sec 2^{section_for(m).bit_length()-1})",
+              single_bin, m, cnt1, pk1, flat, packed)
+
+        # vmapped form at the big sizes is what a re-scheduled sequence runs;
+        # keep the footprint sane by shrinking F as chunks grow
+        Fv = max(4, F // mult)
+        salts = jnp.arange(Fv, dtype=jnp.uint32)[:, None]
+        packed_f = packed[None, :] ^ salts
+        flat_f = jnp.broadcast_to(flat, (Fv, m))
+        cntF = jnp.zeros((Fv, npix), jnp.uint32)
+        pkF = jnp.zeros((Fv, npix), jnp.uint32)
+
+        def vmap_bin(cnt, pk, f, p, kwargs=kwargs):
+            inner = functools.partial(kb.bin_chunk_kernel, **kwargs)
+            def body(c, _):
+                cnt, pk = c
+                ff = f ^ (cnt[0, 0] & 1).astype(jnp.int32)
+                return jax.vmap(inner)(cnt, pk, ff, p), None
+            c, _ = lax.scan(body, (cnt, pk), None, length=K)
+            return c
+
+        bench(f"vmap({Fv}) bin, chunk {m}", vmap_bin, Fv * m,
+              cntF, pkF, flat_f, packed_f)
 
 
 if __name__ == "__main__":
