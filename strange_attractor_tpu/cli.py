@@ -170,12 +170,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "orbit per batch — sampling noise moves coherently "
                           "with the camera instead of re-rolling per frame (no "
                           "temporal sparkle), each frame bit-identical to a "
-                          "single render of that orbit, and device memory stays "
-                          "bounded by ONE frame's point buffers. Similar speed "
-                          "(measured ~20%% slower at 1e7 iters/frame: the "
-                          "per-frame path batches all frames' sorts into one "
-                          "kernel). Needs --frames-per-batch > 0 and a single "
-                          "device.")
+                          "single render of that orbit, device memory stays "
+                          "bounded by ONE frame's point buffers, and the warm-up "
+                          "+ map loop run once per batch — measured ~45%% faster "
+                          "than per-frame at 1e7 iters/frame on v5e (39.5 vs "
+                          "27.1 frames/s device-side). Needs "
+                          "--frames-per-batch > 0 and a single device.")
     seq.add_argument("--apng", action="store_true",
                      help="Write the whole sequence as one animated PNG "
                           "('<name>.apng') instead of per-frame files")

@@ -910,28 +910,35 @@ def render_sequence_batched(
 
 
 def _canvas_body_shared(
-    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int,
+    *, frame_vmap: bool = False,
 ):
     """Shared-orbit sequence render as a pure function
     ``(key, cos_vec, sin_vec) -> stacked accumulator planes (F, ...)``.
 
     One orbit (seed + 1000-step warm-up + map scan) serves every frame: each
     chunk's frame-invariant emission (:func:`_step_fn_shared`) is finished
-    per frame by :func:`_project_emit` and binned inside a ``lax.scan`` over
-    the frame axis. The frame scan (not vmap) keeps only ONE frame's sort
-    buffers live at a time and lets the pixel-0 flood gate stay a real
-    branch (a vmapped cond executes both pipelines, docs/KERNEL_NOTES.md
-    round 3) — but it also serializes the per-frame sorts the vmapped body
-    hands XLA as one batched kernel, which is why this path measured ~20%
-    SLOWER than :func:`_canvas_body` at 1e7 iters/frame (KERNEL_NOTES
-    round 4). Use it for its semantics (shared samples, bounded memory),
-    not throughput.
+    per frame by :func:`_project_emit` and binned per frame.
+
+    ``frame_vmap=False`` (default) SCANS the frame axis: per-frame
+    sorts/applies run serially, reusing ONE frame's buffers. With the
+    round-4 schedule (buffer-filling chunks at every size) this is the
+    FASTEST sequence configuration on v5e — 45.9 frames/s render-only at
+    60x1e7, vs 34.3 for ``frame_vmap=True`` which batches all frames'
+    sorts into one wide kernel but materializes every frame's emission +
+    sort buffers at once (~5 GB at 60 frames; the batching won only under
+    the old 262k-point small-render schedule, where per-kernel overheads
+    dominated — tools/probe_shared_frame_axis.py, docs/KERNEL_NOTES.md
+    round 4). Both orderings bin identical emissions per frame, so the
+    resulting planes are bit-identical (tests/test_sequence_shared.py).
     """
     cam = camera_params(config.view, 0.0, config.width, config.height)
     dt = _dtype(config)
     step = _step_fn_shared(config, cam, strategy)
     npix = config.width * config.height
-    bin_planes = _bin_fn(config, strategy)
+    # a vmapped flood-gate cond would execute BOTH binning pipelines
+    # (select_n lowering) — always-evict instead, bit-exact (see _bin_fn)
+    bin_planes = _bin_fn(config, strategy, vmapped=frame_vmap)
 
     def body(key, cos_vec, sin_vec):
         cur = _seed_warm(config, lanes, dt, key)
@@ -953,13 +960,18 @@ def _canvas_body_shared(
             cur, prev = _join_xyz(x, y, z), _join_xyz(px, py, pz)
             em = tuple(e.reshape(-1) for e in em)
 
-            def frame(_, xs):
-                pl, cos_v, sin_v = xs
-                return None, bin_planes(
+            def frame_one(pl, cos_v, sin_v):
+                return bin_planes(
                     pl, _project_emit(config, cam, strategy, cos_v, sin_v, em)
                 )
 
-            _, planes = lax.scan(frame, None, (planes, cos_vec, sin_vec))
+            if frame_vmap:
+                planes = jax.vmap(frame_one)(planes, cos_vec, sin_vec)
+            else:
+                _, planes = lax.scan(
+                    lambda _, xs: (None, frame_one(*xs)),
+                    None, (planes, cos_vec, sin_vec),
+                )
             return (planes, cur, prev, age, rkey), None
 
         (planes, _, _, _, _), _ = lax.scan(
@@ -995,16 +1007,19 @@ def render_sequence_shared(
     Only the horizontal-projection multiplies depend on the camera angle,
     so the seed + 1000-iteration warm-up (src/lib.rs:748-752) and the whole
     map loop run ONCE per batch instead of once per frame, and only ONE
-    frame's sort buffers are live at a time (the frame axis is a scan, not
-    a vmap). Measured on v5e this is NOT faster than the vmapped per-frame
-    path (12.9 vs 16.3 frames/s at 1e7 iters/frame, 120 frames): the vmap
-    amortizes per-step dispatch overhead across frames and batches all
-    frames' sorts into one wide kernel, which outweighs the saved warm-ups
-    (docs/KERNEL_NOTES.md round 4). Choose it for the temporal coherence
-    and the bounded working set, not for throughput.
+    frame's sort buffers are live at a time (the frame axis is a scan; a
+    vmapped frame axis was measured and rejected, 34.3 vs 45.9 frames/s —
+    tools/probe_shared_frame_axis.py). Under the round-4 buffer-filling
+    schedule this is also the FASTEST sequence path on v5e: 39.5 frames/s
+    device-side incl. colorize at 120x1e7/1080p vs the per-frame batched
+    path's 27.1 (docs/KERNEL_NOTES.md round 4 — the earlier "12.9 vs 16.3,
+    shared loses" measurement was an artifact of the old 262k-point
+    small-render schedule).
 
-    ``frames_per_batch`` bounds device memory (default ~2 GB of canvases);
-    each batch renders its own orbit (``fold_in(base, batch_start)``).
+    ``frames_per_batch`` bounds device memory (default ~2 GB of canvases;
+    the frame scan reuses one frame's chunk/sort buffers, so no working-set
+    term applies); each batch renders its own orbit
+    (``fold_in(base, batch_start)``).
     """
     strategy = config.resolved_bin_strategy(jax.default_backend())
     angles = np.asarray(list(angles_deg), np.float64)
@@ -1044,10 +1059,9 @@ def render_sequence_shared(
         _SHARED_SEQ_CACHE[ckey] = fn
 
     if frames_per_batch is None:
-        # canvas-bound only: unlike the vmapped path the chunk working set
-        # is shared across frames and the frame scan reuses one frame's
-        # sort buffers, so _auto_frames_per_batch's 6 GB working-set term
-        # does not apply
+        # canvas-bound only: the frame scan reuses ONE frame's chunk/sort
+        # buffers, so _auto_frames_per_batch's 6 GB working-set term does
+        # not apply
         kind = strategy.planes_kind()
         npix = config.width * config.height
         plane_bytes = {BinStrategy.EXACT: 12, BinStrategy.PACKED: 8,
