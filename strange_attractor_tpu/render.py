@@ -340,10 +340,17 @@ def _planes_to_state(planes, strategy: BinStrategy, shape, copy: bool = False):
 
 def _seed_warm(config: Config, lanes: int, dt, key):
     """Seed U[0,1)^3 * 0.1 then warm up (src/lib.rs:748-752) — the shared
-    trajectory bootstrap of _build_kernels.init and _canvas_body."""
+    trajectory bootstrap of _build_kernels.init and _canvas_body.
+
+    unroll=8 like the map scan (_chunk_update): the per-loop-step fixed
+    overhead (~17.6 us) dominates the warm-up's VPU math, and 1000 steps
+    of it (~17 ms) were ~30% of a 1e7 render / ~half of a 1e6 render.
+    Unrolling changes no math — the same ops run in the same order per
+    lane (golden tests pin exact values)."""
     step_xyz = as_xyz_step(config.attractor)
     p0 = jax.random.uniform(key, (lanes, 3), dtype=dt) * jnp.asarray(0.1, dt)
-    warmed = lax.fori_loop(0, config.warmup, lambda i, p: step_xyz(*p), _split_xyz(p0))
+    warmed = lax.fori_loop(0, config.warmup, lambda i, p: step_xyz(*p),
+                           _split_xyz(p0), unroll=8)
     return _join_xyz(*warmed)
 
 
