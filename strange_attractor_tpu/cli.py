@@ -175,7 +175,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "+ map loop run once per batch — measured ~45%% faster "
                           "than per-frame at 1e7 iters/frame on v5e (39.5 vs "
                           "27.1 frames/s device-side). Needs "
-                          "--frames-per-batch > 0 and a single device.")
+                          "--frames-per-batch > 0; on a device mesh each "
+                          "frames-row shares one orbit (lanes split across "
+                          "the row).")
     seq.add_argument("--apng", action="store_true",
                      help="Write the whole sequence as one animated PNG "
                           "('<name>.apng') instead of per-frame files")
@@ -436,15 +438,10 @@ def main(argv=None) -> int:
                 if not args.single_device and len(jax.devices()) > 1:
                     # frames x lanes mesh: the multi-device analog of the
                     # vmapped batch (otherwise the whole batch would run on
-                    # one device while the rest idle)
-                    if args.orbit == "shared":
-                        print(
-                            "warning: --orbit shared is a single-device "
-                            "pipeline; rendering per-frame orbits on the "
-                            "device mesh instead (pass --single-device to "
-                            "use the shared orbit)",
-                            file=sys.stderr,
-                        )
+                    # one device while the rest idle). --orbit shared maps
+                    # to one orbit per frames-row (lanes split over the
+                    # row's devices) — the mesh form of the single-device
+                    # shared-orbit semantics.
                     from .parallel.mesh import render_sequence_sharded
 
                     images = render_sequence_sharded(
@@ -455,6 +452,7 @@ def main(argv=None) -> int:
                         # honor the user's per-program memory bound on the
                         # mesh path too (frames per DEVICE per program)
                         frames_per_batch=args.frames_per_batch,
+                        orbit=args.orbit,
                     )
                 else:
                     seq_fn = (render_mod.render_sequence_shared

@@ -191,6 +191,7 @@ def render_sequence_sharded(
     transparent: bool = True,
     eight_bit: bool = False,
     frames_per_batch: int = 0,
+    orbit: str = "per-frame",
 ):
     """Shard an animation over a 2D (frames, lanes) mesh.
 
@@ -210,6 +211,19 @@ def render_sequence_sharded(
     ``_auto_frames_per_batch``. The angle list is sliced into groups of
     ``frames_per_batch * frame_axis``; every group runs through ONE cached
     program (short tails are padded), and results concatenate on the host.
+
+    ``orbit="shared"`` is the mesh form of
+    :func:`render.render_sequence_shared`: each ``frames`` row renders its
+    whole local frame slice from ONE trajectory orbit (warm-up + map once
+    per row per group), with that orbit's lanes split across the ``lanes``
+    columns and each frame's canvas merged collectively. Every frame is
+    bit-identical to a :func:`render_sharded` of that row's orbit key over
+    one row of devices at the frame's angle (pinned in
+    tests/test_parallel.py), so the single-device shared-orbit guarantees
+    — coherent sampling noise, per-frame fidelity of a normal render —
+    transfer to the mesh. Rows draw distinct orbits (the frame-axis index
+    folds into the key), so cross-row coherence is that of distinct seeds,
+    like the single-device path's per-batch orbits.
     """
     from ..render import plan_schedule, seed_key
     from ..ops.colorize import colorize_planes, state_planes
@@ -263,12 +277,47 @@ def render_sequence_sharded(
         ]
     dt = jnp.dtype(config.dtype)
 
+    if orbit not in ("per-frame", "shared"):
+        raise ValueError(f"orbit must be 'per-frame' or 'shared', got {orbit!r}")
     ckey = _sharded_cache_key(
         config, strategy, lanes_local, chunk_steps, nchunks, devices,
-        ("frames", frame_axis, group_len, transparent, eight_bit),
+        ("frames", frame_axis, group_len, transparent, eight_bit, orbit),
     )
     fn = _SHARDED_CACHE.get(ckey)
-    if fn is None:
+
+    def _colorize_flat(*pl):
+        st = planes_to_state(pl, strategy, (config.height, config.width))
+        img = colorize_planes(config, *state_planes(st))
+        # deliverable conversion on device + flat per-frame output:
+        # a (F, H, W, 4) u16 batch pads the 4-wide minor dim to 128
+        # under TPU tiling (32x the bytes — see
+        # render_sequence_batched); host reshapes back
+        return convert_format_device(img, transparent, eight_bit).reshape(-1)
+
+    if fn is None and orbit == "shared":
+        from ..render import _canvas_body_shared
+
+        # pin the PER-DEVICE schedule like _local_render_fn (section sizing
+        # must see the local lanes)
+        local = config.replace(lanes=lanes_local, chunk_steps=chunk_steps)
+        canvas = _canvas_body_shared(local, strategy, lanes_local, chunk_steps,
+                                     nchunks)
+
+        def frames_body(key, cos_f, sin_f):
+            # one orbit per frames-row, its lanes split over the lane
+            # columns. Key derivation mirrors _local_render_fn's, so a row
+            # is bit-identical to render_sharded(fold_in(key, row)) over one
+            # row of devices at each of its frames' angles.
+            key = jax.random.fold_in(key, lax.axis_index("frames"))
+            key = jax.random.fold_in(key, lax.axis_index("lanes"))
+            # stacked (F_local, npix) planes; the merge collectives are
+            # elementwise/reductions over the mesh axis, so they apply to
+            # the whole frame stack at once
+            planes = canvas(key, cos_f, sin_f)
+            planes = merge_collective(planes, strategy, "lanes")
+            return jax.vmap(_colorize_flat)(*planes)
+
+    elif fn is None:
         body = _local_render_fn(config, strategy, lanes_local, chunk_steps, nchunks,
                                 "lanes", vmapped=True)
 
@@ -280,18 +329,13 @@ def render_sequence_sharded(
                 # entropy per frame, src/lib.rs:656,748) — without this every
                 # frame in a device row would replay identical seeds
                 planes = body(jax.random.fold_in(key, local_frame), cs[0], cs[1])
-                st = planes_to_state(planes, strategy, (config.height, config.width))
-                img = colorize_planes(config, *state_planes(st))
-                # deliverable conversion on device + flat per-frame output:
-                # a (F, H, W, 4) u16 batch pads the 4-wide minor dim to 128
-                # under TPU tiling (32x the bytes — see
-                # render_sequence_batched); host reshapes back
-                return convert_format_device(img, transparent, eight_bit).reshape(-1)
+                return _colorize_flat(*planes)
 
             return jax.vmap(one)(
                 jnp.stack([cos_f, sin_f], axis=1), jnp.arange(cos_f.shape[0])
             )
 
+    if fn is None:
         fn = jax.jit(
             shard_map(
                 frames_body,

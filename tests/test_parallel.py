@@ -227,6 +227,57 @@ def test_sequence_device_conversion_matches_host():
             )
 
 
+def test_sequence_sharded_shared_orbit_bit_matches_render_sharded(cpu_devices):
+    """orbit='shared' on the mesh: every frame must be bit-identical to a
+    render_sharded() of its frames-row's orbit key over one row of devices
+    at that frame's angle — the mesh form of the single-device shared-orbit
+    invariant (tests/test_sequence_shared.py). Collective values are
+    device-placement-independent, so any lane_axis-sized device subset
+    reproduces a row."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=128, chunk_steps=32, seed=6,
+    )
+    angles = [0.0, 90.0, 180.0, 222.5]
+    # 2 frame rows x 4 lane columns: rows render angle pairs from ONE orbit
+    frames = render_sequence_sharded(cfg, angles, cpu_devices, frame_axis=2,
+                                     orbit="shared")
+    assert frames.shape == (4, 27, 48, 4) and frames.dtype == np.uint16
+    from strange_attractor_tpu.render import seed_key
+
+    base = seed_key(cfg)
+    for i, a in enumerate(angles):
+        row = i // 2  # group_len=4, frame_axis=2 -> 2 local frames per row
+        st = render_sharded(
+            cfg.replace(angle=float(np.radians(a))),
+            devices=cpu_devices[:4],
+            key=jax.random.fold_in(base, row),
+        )
+        want = np.asarray(jax.device_get(colorize(cfg, st)))
+        np.testing.assert_array_equal(frames[i], want)
+
+
+def test_sequence_sharded_shared_orbit_within_row(cpu_devices):
+    """Equal angles in one frames-row share the orbit (bitwise-equal frames,
+    unlike the per-frame path's fresh seeds); rows draw distinct orbits."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=128, chunk_steps=32, seed=6,
+    )
+    frames = render_sequence_sharded(cfg, [45.0, 45.0], cpu_devices,
+                                     frame_axis=1, orbit="shared")
+    np.testing.assert_array_equal(frames[0], frames[1])
+    rows = render_sequence_sharded(cfg, [45.0, 45.0], cpu_devices,
+                                   frame_axis=2, orbit="shared")
+    assert not np.array_equal(rows[0], rows[1])
+
+
+def test_sequence_sharded_rejects_unknown_orbit(cpu_devices):
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=1000, lanes=128, chunk_steps=8, seed=6,
+    )
+    with pytest.raises(ValueError, match="orbit"):
+        render_sequence_sharded(cfg, [0.0], cpu_devices, orbit="typo")
+
+
 def test_sequence_sharded_device_conversion(cpu_devices):
     """The sharded frames x lanes path honors the same conversion kwargs."""
     cfg = presets.poisson_saturne(
