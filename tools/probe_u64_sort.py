@@ -122,6 +122,24 @@ def main() -> None:
         scan_sort(lambda a: lax.sort([a], num_keys=1, is_stable=False)),
         k64,
     )
+    # EXACT_KERNEL candidate (round 4): flat<<32 | zdesc as ONE u64 key,
+    # f32 value bits as payload, STABLE (emission order must survive for
+    # the reference's earliest-wins tie rule on exact (flat, z) ties —
+    # uniqueness-via-emission-bits cannot fit: 21+32 leaves 11 bits, and
+    # pixel-0 NaN floods collide on (flat, zdesc) by the million). Replaces
+    # today's stable u32 3-op (flat, zdesc keys + valbits rider).
+    k64e = (f32.astype(jnp.uint64) << jnp.uint64(32)) | s32.astype(jnp.uint64)
+    bench(
+        "u64 key + u32 payload STABLE (exact candidate)",
+        scan_sort(lambda a, b: lax.sort([a, b], num_keys=1, is_stable=True)),
+        k64e, v16.astype(jnp.uint32),
+    )
+    # the exact path it would replace, measured with f32-width value rider
+    bench(
+        "u32 stable 3-op, u32 value rider (current EXACT_KERNEL)",
+        scan_sort(lambda a, b, c: lax.sort([a, b, c], num_keys=2, is_stable=True)),
+        f32, s32, v16.astype(jnp.uint32),
+    )
 
 
 if __name__ == "__main__":
