@@ -270,6 +270,32 @@ def test_sequence_sharded_shared_orbit_within_row(cpu_devices):
     assert not np.array_equal(rows[0], rows[1])
 
 
+def test_sequence_sharded_shared_orbit_grouped(cpu_devices):
+    """frames_per_batch grouping on the shared path: each group folds its
+    index into the key (gkey = fold_in(base, gi)), so a tail group's frames
+    still pin to render_sharded of THAT group's row-0 orbit key."""
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=128, chunk_steps=32, seed=6,
+    )
+    angles = [0.0, 90.0, 180.0]
+    # frame_axis=2, frames_per_batch=1 -> groups [0,90] and [180]
+    frames = render_sequence_sharded(cfg, angles, cpu_devices, frame_axis=2,
+                                     frames_per_batch=1, orbit="shared")
+    assert frames.shape[0] == 3
+    from strange_attractor_tpu.render import seed_key
+
+    base = seed_key(cfg)
+    # group 1, local row 0, angle 180
+    gkey = jax.random.fold_in(base, 1)
+    st = render_sharded(
+        cfg.replace(angle=float(np.radians(180.0))),
+        devices=cpu_devices[:4],
+        key=jax.random.fold_in(gkey, 0),
+    )
+    want = np.asarray(jax.device_get(colorize(cfg, st)))
+    np.testing.assert_array_equal(frames[2], want)
+
+
 def test_sequence_sharded_rejects_unknown_orbit(cpu_devices):
     cfg = presets.poisson_saturne(
         width=48, height=27, iterations=1000, lanes=128, chunk_steps=8, seed=6,
