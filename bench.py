@@ -200,12 +200,14 @@ def main() -> None:
         if best is None or prof.iters_per_sec > best.iters_per_sec:
             best = prof
 
-    # best-of-4: the tunnel's fetch leg is the noisiest phase (±40%
-    # run-to-run on a 6 MB transfer) and the render rate itself wanders
-    # ±2-3%; wall_s is the round's headline, so buy variance down with
-    # one more ~2 s attempt
+    # best-of-6: the tunnel's fetch leg is the noisiest phase — not just
+    # ±40% run-to-run, but slow WINDOWS lasting whole processes (measured
+    # 2026-08-19: four consecutive attempts at ~0.48 s fetch vs the usual
+    # 0.15, then 0.22 minutes later) — and the render rate itself wanders
+    # ±2-3%; wall_s is the round's headline, so buy variance down with a
+    # few more ~2 s attempts
     wall = None
-    for attempt in range(4):
+    for attempt in range(6):
         t0 = time.perf_counter()
         state = render(cfg, key=jax.random.PRNGKey(0))
         # banded delivery — the same pipeline cli.py ships frames through:
