@@ -560,6 +560,12 @@ def render(
         # which donates (invalidates) the working planes — hand them a copy
         return _planes_to_state(planes, strategy, shape, copy=copy)
 
+    if not config.silent:
+        # the reference announces each worker thread as it picks up the job
+        # (src/lib.rs:953-954); the SPMD analog is one announcement for the
+        # whole lane batch — every lane starts the same program together
+        print(f"Rendering started on device ({lanes} lanes).")
+
     t0 = time.perf_counter()
     for _ in range(outer_full):
         planes, cur, prev, age, rkey = dispatch(inner, planes, cur, prev, age, rkey)

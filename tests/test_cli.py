@@ -198,6 +198,22 @@ def test_custom_coefficients_render(tmp_path):
     assert (tmp_path / "custom.png").exists()
 
 
+def test_verbose_render_announces_start(tmp_path, capsys):
+    """Non-silent renders announce the lane batch starting, the SPMD analog
+    of the reference's per-thread 'Rendering started on thread.'
+    (src/lib.rs:953-954); -q must suppress it."""
+    out = tmp_path / "loud"
+    args = ["-i", "102400", "-w", "32", "-h", "18", "--lanes", "32",
+            "--chunk-steps", "16", "--seed", "1", "--single-device",
+            "-o", str(out)]
+    assert main(args) == 0
+    loud = capsys.readouterr().out
+    assert "Rendering started on device (32 lanes)." in loud
+    assert "Iteration complete" in loud
+    assert main(args + ["-q"]) == 0
+    assert "Rendering started" not in capsys.readouterr().out
+
+
 def test_doctor(capsys):
     assert main(["doctor"]) == 0
     out = capsys.readouterr().out
