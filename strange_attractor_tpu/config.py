@@ -198,7 +198,11 @@ class Config:
       the reference's thread count x jobs-per-thread work splitting
       (src/lib.rs:1058).
     - ``chunk_steps``: scan steps per binning flush; bounds the on-device
-      point buffer.
+      point buffer. An explicitly set value is executed exactly (the chunk
+      count rounds up, so the executed iteration total may exceed the
+      request by up to one lanes x chunk_steps block); ``None`` = auto,
+      where the planner may even chunk lengths to track the request
+      (see render.plan_schedule).
     - ``warmup``: discarded iterations to settle onto the attractor
       (reference hardcodes 1000, src/lib.rs:749-752).
     - ``bin_strategy``: see :class:`BinStrategy`.
@@ -298,6 +302,15 @@ class Config:
         # measured optimum. The old steps/lane >= 16k rule over-shrank small
         # renders (1e7 landed on 512 lanes = 140M).
         target = max(512, min(32_768, self.iterations // 4_000))
+        # degenerate micro renders (iterations < the 512-lane floor): don't
+        # launch more lanes than iterations — executed = lanes * >=1 steps
+        # would over-run the request many-fold (iterations=100 at 512 lanes
+        # executes 512). Perf is irrelevant down here; bounded over-run
+        # (< 2x, one step per lane) matters for parity-sensitive micro
+        # configs (round-4 advisor finding).
+        if self.iterations < 512:
+            target = 1 << max(0, self.iterations.bit_length() - 1)
+            return max(1, target)
         pow2 = 1 << (target.bit_length() - 1)
         if target - pow2 > 2 * pow2 - target:  # round to nearest power of 2
             pow2 <<= 1

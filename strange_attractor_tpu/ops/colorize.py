@@ -24,11 +24,23 @@ def _saturate_u16(x):
     return jnp.clip(x, 0.0, 65535.0).astype(jnp.uint16)
 
 
-def palette_lookup(stops: np.ndarray, value):
+# beyond this stop count the select chain loses to one device gather:
+# K selects cost 6K where-ops per pixel (a 64-stop palette: 384), while the
+# gather is two (npix, 3) table lookups regardless of K
+PALETTE_SELECT_MAX_STOPS = 8
+
+
+def palette_lookup(stops: np.ndarray, value, *, gather: bool | None = None):
     """Palette interpolation (src/lib.rs:442-472) vectorized over the canvas.
 
-    ``stops`` is the (K+1, 3) host table (last stop duplicated). With K tiny,
-    the gather is expressed as K selects — pure VPU work, no device gather.
+    ``stops`` is the (K+1, 3) host table (last stop duplicated). With K tiny
+    (the default palette: 6), the lookup is expressed as K selects — pure
+    VPU work, no device gather; past ``PALETTE_SELECT_MAX_STOPS`` it
+    switches to one table gather, whose cost is K-independent (the CLI
+    accepts arbitrary ``--palette`` stop counts). Both paths compute the
+    identical lerp from identical (lo, hi) rows, so the output is
+    bit-identical (pinned in tests/test_colorize.py); ``gather`` pins a
+    path explicitly for tests.
     Returns (..., 3): lerp between neighboring stops then sqrt per channel.
     """
     k = stops.shape[0] - 1
@@ -39,6 +51,14 @@ def palette_lookup(stops: np.ndarray, value):
     # (the reference's f64 product cannot); clamp the stop index
     n = jnp.minimum(jnp.floor(v).astype(jnp.int32), k - 1)  # in [0, k-1]
     frac = v % 1.0
+
+    if gather is None:
+        gather = k > PALETTE_SELECT_MAX_STOPS
+    if gather:
+        tbl = jnp.asarray(stops, jnp.float32)  # (K+1, 3)
+        lo_rows = tbl[n]  # (..., 3)
+        hi_rows = tbl[n + 1]
+        return jnp.sqrt(hi_rows * frac[..., None] + lo_rows * (1.0 - frac[..., None]))
 
     lo = [jnp.zeros_like(v) for _ in range(3)]
     hi = [jnp.zeros_like(v) for _ in range(3)]

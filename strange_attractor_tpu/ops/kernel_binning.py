@@ -96,7 +96,12 @@ WINDOW_ROWS = 32
 # the flat pixel value, not the row shape. End-to-end ladder: 128 -> 178M,
 # 512 -> 268M, 1024 -> best, 2048 -> tie (wider rows span multiple windows
 # more often, re-running the dot per window visited; docs/KERNEL_NOTES.md).
-ROW_LANES = 1024
+# SAR_ROW_LANES is a measurement knob for end-to-end geometry sweeps
+# (tools/probe_window.py) — it must be set before first import because the
+# @jax.jit caches of the bin functions do not key on it.
+import os as _os
+
+ROW_LANES = int(_os.environ.get("SAR_ROW_LANES", "1024"))
 DEFAULT_SECTION = 1 << 17
 
 

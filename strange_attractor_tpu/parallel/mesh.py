@@ -258,13 +258,24 @@ def render_sequence_sharded(
     nang = len(angles_deg)
     full_len = nang + ((-nang) % frame_axis)
     if frames_per_batch <= 0:
-        # default to the same canvas/working-set memory cap the single-device
-        # batched path uses (sized with this device's LOCAL lane share)
-        from ..render import _auto_frames_per_batch
+        if orbit == "shared":
+            # the shared body SCANS its local frame slice, reusing one
+            # frame's chunk/sort buffers — cap on canvases only, like
+            # render_sequence_shared (the lock-step working-set term would
+            # shrink groups ~3x for nothing: more dispatches, more orbit
+            # seams per sequence)
+            from ..render import _auto_frames_canvas_only
 
-        frames_per_batch = _auto_frames_per_batch(
-            config, strategy, lanes_local, chunk_steps
-        )
+            frames_per_batch = _auto_frames_canvas_only(config, strategy)
+        else:
+            # the per-frame body vmaps frames in lock-step: same
+            # canvas/working-set memory cap as the single-device batched
+            # path (sized with this device's LOCAL lane share)
+            from ..render import _auto_frames_per_batch
+
+            frames_per_batch = _auto_frames_per_batch(
+                config, strategy, lanes_local, chunk_steps
+            )
     per_batch = frames_per_batch * frame_axis if frames_per_batch > 0 else 0
     if per_batch <= 0 or per_batch >= full_len:
         group_len = full_len

@@ -74,7 +74,13 @@ def plan_schedule(config: Config) -> tuple[int, int, int]:
     count may differ slightly from the request; set ``lanes``/``chunk_steps``
     to divisors for exact counts.
 
-    Chunks are EVENED: nchunks is fixed first (ceil at the buffer-sized
+    An explicitly pinned ``Config.chunk_steps`` is executed EXACTLY (the
+    chunk count rounds up, so the executed total may exceed the request by
+    up to one lanes x chunk_steps block) — a pinned 32 used to silently run
+    as 31 through the evening below (round-4 advisor finding), which also
+    de-synced the kernel-section sizing from the executed chunk.
+
+    Auto chunks are EVENED: nchunks is fixed first (ceil at the buffer-sized
     chunk), then the chunk length is re-derived from it. With big chunk
     buffers at small lane counts (resolved_chunk_steps round-4 fix), naive
     round-at-the-cap scheduling could execute up to ~25% off the request
@@ -84,9 +90,13 @@ def plan_schedule(config: Config) -> tuple[int, int, int]:
     """
     lanes = config.resolved_lanes()
     target_steps = max(1, round(config.iterations / lanes))
-    chunk = min(config.resolved_chunk_steps(), target_steps)
+    pinned = config.chunk_steps is not None
+    chunk = config.resolved_chunk_steps()
+    if not pinned:
+        chunk = min(chunk, target_steps)
     nchunks = max(1, -(-target_steps // chunk))
-    chunk = max(1, round(target_steps / nchunks))
+    if not pinned:
+        chunk = max(1, round(target_steps / nchunks))
     return lanes, chunk, nchunks
 
 
@@ -276,6 +286,22 @@ def _bin_fn(config: Config, strategy: BinStrategy, *, vmapped: bool = False):
                     BinStrategy.EXACT16_KERNEL, BinStrategy.DEPTH_KERNEL):
         from .ops import kernel_binning as kb
 
+        if (strategy is BinStrategy.EXACT16_KERNEL
+                and config.exact16_ties == "earliest"
+                and not jax.config.jax_enable_x64):
+            import warnings
+
+            # bit-identical fallback, but ~1.3x slower (stable 3-operand
+            # sort instead of the u64 2-operand fast path) — surface the
+            # perf footgun at the library level, not just the CLI (which
+            # enables x64 itself; round-4 verdict weak #2)
+            warnings.warn(
+                "exact16_ties='earliest' without jax_enable_x64 uses the "
+                "stable-sort fallback (~1.3x slower, bit-identical). Enable "
+                "x64 (jax.config.update('jax_enable_x64', True) before "
+                "tracing) for the u64 sort fast path.",
+                stacklevel=3,
+            )
         npix = config.width * config.height
         section = config.resolved_kernel_section()
         interpret = jax.default_backend() != "tpu"
@@ -394,6 +420,13 @@ def _build_kernels(config: Config, strategy: BinStrategy, nchunks: int):
     hit = _KERNEL_CACHE.get(key)
     if hit is not None:
         return hit
+    # pin the RESOLVED schedule before building the step/bin closures: the
+    # kernel-section rule (section = chunk/8) must see the same chunk length
+    # the scan executes — with the unpinned config an auto-evened chunk
+    # could size sections from the pre-evening resolved_chunk_steps
+    # (round-4 advisor finding; parallel/mesh._local_render_fn already does
+    # this for the per-device schedule)
+    config = config.replace(lanes=lanes, chunk_steps=chunk_steps)
     cam = camera_params(config.view, 0.0, config.width, config.height)
     dt = _dtype(config)
     step = _step_fn(config, cam, strategy)
@@ -761,6 +794,8 @@ def _canvas_body(
     executes both pipelines). ``chunk_steps`` must come from
     the same :func:`plan_schedule` as ``nchunks`` (it clamps for small
     iteration counts)."""
+    # section sizing must see the executed schedule (see _build_kernels)
+    config = config.replace(lanes=lanes, chunk_steps=chunk_steps)
     cam = camera_params(config.view, 0.0, config.width, config.height)
     dt = _dtype(config)
     step = _step_fn(config, cam, strategy)
@@ -822,6 +857,21 @@ def _auto_frames_per_batch(
     # emitted buffer + sorted copy + apply slack ~ 3x
     work = lanes * chunk_steps * emit_bytes * 3
     return max(1, min(int(2e9 / max(1, canvas)), int(6e9 / max(1, work))))
+
+
+def _auto_frames_canvas_only(config: Config, strategy: BinStrategy) -> int:
+    """Frames per device program targeting ~2 GB of live canvases only —
+    the shared-orbit batch cap: the frame SCAN reuses one frame's chunk/sort
+    buffers, so :func:`_auto_frames_per_batch`'s lock-step working-set term
+    does not apply (round-4 advisor finding for the mesh shared path)."""
+    kind = strategy.planes_kind()
+    npix = config.width * config.height
+    plane_bytes = {
+        BinStrategy.EXACT: 12,
+        BinStrategy.PACKED: 8,
+        BinStrategy.DEPTH: 4,
+    }[kind]
+    return max(1, int(2e9 / max(1, npix * (plane_bytes + 8))))
 
 
 def render_sequence_batched(
@@ -892,7 +942,9 @@ def render_sequence_batched(
         fn = jax.jit(jax.vmap(one))
         _BATCHED_CACHE[ckey] = fn
 
-    if frames_per_batch is None:
+    if frames_per_batch is None or frames_per_batch <= 0:
+        # <= 0 means auto, matching render_sequence_sharded's contract
+        # (0 used to crash with an opaque range() error — advisor finding)
         frames_per_batch = _auto_frames_per_batch(config, strategy, lanes, chunk_steps)
 
     angles = np.asarray(list(angles_deg), np.float64)
@@ -945,6 +997,8 @@ def _canvas_body_shared(
     round 4). Both orderings bin identical emissions per frame, so the
     resulting planes are bit-identical (tests/test_sequence_shared.py).
     """
+    # section sizing must see the executed schedule (see _build_kernels)
+    config = config.replace(lanes=lanes, chunk_steps=chunk_steps)
     cam = camera_params(config.view, 0.0, config.width, config.height)
     dt = _dtype(config)
     step = _step_fn_shared(config, cam, strategy)
@@ -1071,15 +1125,11 @@ def render_sequence_shared(
         fn = jax.jit(seq)
         _SHARED_SEQ_CACHE[ckey] = fn
 
-    if frames_per_batch is None:
-        # canvas-bound only: the frame scan reuses ONE frame's chunk/sort
-        # buffers, so _auto_frames_per_batch's 6 GB working-set term does
-        # not apply
-        kind = strategy.planes_kind()
-        npix = config.width * config.height
-        plane_bytes = {BinStrategy.EXACT: 12, BinStrategy.PACKED: 8,
-                       BinStrategy.DEPTH: 4}[kind]
-        frames_per_batch = max(1, int(2e9 / max(1, npix * (plane_bytes + 8))))
+    if frames_per_batch is None or frames_per_batch <= 0:
+        # <= 0 means auto (mesh-path contract); canvas-bound only — the
+        # frame scan reuses ONE frame's chunk/sort buffers, so
+        # _auto_frames_per_batch's 6 GB working-set term does not apply
+        frames_per_batch = _auto_frames_canvas_only(config, strategy)
 
     rad = np.radians(angles)
     dt = _dtype(config)

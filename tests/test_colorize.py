@@ -139,3 +139,50 @@ def test_depth_all_valid_negative_matches_oracle():
     assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 1
     # zmax=0.0 > every z, so nothing may normalize to full white
     assert got[..., 0].max() < 65535
+
+
+def test_palette_gather_path_bit_identical_to_selects():
+    """The K-select chain and the table-gather path (used past
+    PALETTE_SELECT_MAX_STOPS) must agree bit-for-bit — same (lo, hi) rows,
+    same lerp ops."""
+    rng = np.random.default_rng(3)
+    for k in (2, 6, 9, 64):
+        pal = Palette(rng.random((k, 3)))
+        v = np.concatenate([
+            np.linspace(-0.25, 1.25, 301),
+            rng.random(200),
+            [0.0, 0.999999, 0.99999994, 1.0, np.nextafter(1.0, 0.0)],
+        ]).astype(np.float32)
+        sel = np.asarray(palette_lookup(pal.stops, jnp.asarray(v), gather=False))
+        gat = np.asarray(palette_lookup(pal.stops, jnp.asarray(v), gather=True))
+        np.testing.assert_array_equal(sel, gat)
+
+
+def test_palette_64_stops_matches_numpy():
+    """A 64-stop palette (CLI --palette accepts arbitrary stop counts) takes
+    the gather path automatically and still matches the numpy reference."""
+    from strange_attractor_tpu.ops.colorize import PALETTE_SELECT_MAX_STOPS
+
+    rng = np.random.default_rng(11)
+    pal = Palette(rng.random((64, 3)))
+    assert pal.count > PALETTE_SELECT_MAX_STOPS
+    v = np.linspace(-0.5, 1.5, 1025).astype(np.float32)
+    got = np.asarray(palette_lookup(pal.stops, jnp.asarray(v)))
+    want = pal.interpolate_numpy(v)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
+def test_gas_colorize_64_stop_palette_matches_oracle():
+    from strange_attractor_tpu.config import Colors
+
+    rng = np.random.default_rng(13)
+    pal = Palette(rng.random((64, 3)))
+    cfg = presets.poisson_saturne(width=9, height=6, colors=Colors(palette=pal))
+    count = rng.integers(0, 9, (6, 9)).astype(np.uint32)
+    steps = rng.random((6, 9), np.float32)
+    zbuf = np.where(count > 0, rng.random((6, 9), np.float32), -1.0).astype(np.float32)
+    got = np.asarray(
+        colorize_planes(cfg, jnp.asarray(count), jnp.asarray(steps), jnp.asarray(zbuf))
+    )
+    want = oracle_colorize(cfg, count, steps, zbuf)
+    assert np.abs(got.astype(np.int64) - want.astype(np.int64)).max() <= 1

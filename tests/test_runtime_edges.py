@@ -122,3 +122,46 @@ def test_set_width_height(strategy):
     st2 = render(cfg.replace(width=32, height=18), resized)
     planes = [p for p in st2 if p is not None]
     assert all(p.shape == (18, 32) for p in planes)
+
+
+def test_pinned_chunk_steps_executed_exactly():
+    """An explicit Config.chunk_steps is a contract, not a hint: the planner
+    must not silently even it to another length (round-4 advisor finding).
+    The chunk count rounds up instead."""
+    from strange_attractor_tpu.render import plan_schedule
+
+    cfg = presets.poisson_saturne(iterations=10_000, lanes=32, chunk_steps=32)
+    lanes, chunk, nchunks = plan_schedule(cfg)
+    assert (lanes, chunk) == (32, 32)
+    target_steps = round(10_000 / 32)
+    assert nchunks == -(-target_steps // 32)
+    # executed total overshoots by less than one lanes x chunk_steps block
+    executed = lanes * chunk * nchunks
+    assert 10_000 <= executed + lanes * chunk
+    assert executed < 10_000 + lanes * chunk
+
+
+def test_auto_chunks_track_request():
+    """Auto chunks still even out to track the request closely."""
+    from strange_attractor_tpu.render import plan_schedule
+
+    cfg = presets.poisson_saturne(iterations=10**7)
+    lanes, chunk, nchunks = plan_schedule(cfg)
+    executed = lanes * chunk * nchunks
+    assert abs(executed - 10**7) <= lanes * nchunks  # one step round per chunk
+
+
+def test_micro_render_lane_clamp():
+    """iterations < the 512-lane floor must not over-execute many-fold
+    (round-4 advisor finding): lanes are clamped to a power of two at or
+    below the request, bounding the executed count under 2x."""
+    from strange_attractor_tpu.render import plan_schedule
+
+    for iters in (1, 2, 100, 300, 511):
+        cfg = presets.poisson_saturne(iterations=iters)
+        lanes, chunk, nchunks = plan_schedule(cfg)
+        assert lanes <= max(1, iters)
+        assert lanes * chunk * nchunks < 2 * iters + lanes
+    # at or past the floor, the measured schedule rules stay untouched
+    assert presets.poisson_saturne(iterations=512).resolved_lanes() == 512
+    assert presets.poisson_saturne(iterations=10**7).resolved_lanes() == 2048

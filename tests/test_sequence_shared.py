@@ -95,3 +95,16 @@ def test_shared_degenerate_inputs():
     np.testing.assert_array_equal(blank, render_sequence_batched(cfg, [0.0, 90.0]))
     empty = render_sequence_shared(_cfg(), [])
     assert empty.shape == (0, 27, 48, 4)
+
+
+def test_frames_per_batch_zero_means_auto():
+    """frames_per_batch <= 0 is auto on every sequence path (the mesh path's
+    contract; 0 used to crash the single-device paths with an opaque
+    range() error — round-4 advisor finding)."""
+    cfg = _cfg()
+    angles = [0.0, 45.0]
+    want = render_sequence_shared(cfg, angles)
+    np.testing.assert_array_equal(render_sequence_shared(cfg, angles, frames_per_batch=0), want)
+    wantb = render_sequence_batched(cfg, angles)
+    np.testing.assert_array_equal(
+        render_sequence_batched(cfg, angles, frames_per_batch=0), wantb)
