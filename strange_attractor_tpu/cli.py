@@ -511,15 +511,6 @@ def main(argv=None) -> int:
                     write_async(image, _strip_suffix(out_path))
         else:
             state = load_state(args.load_state) if args.load_state else None
-            import jax
-
-            if state is not None and not args.single_device and len(jax.devices()) > 1:
-                print(
-                    "warning: --load-state resumes on a single device (the "
-                    "sharded path cannot continue a standing accumulation); "
-                    "pass --single-device to silence this",
-                    file=sys.stderr,
-                )
             image, state = _render_stateful(args, config, render_mod, state)
             if args.save_state and is_primary():
                 save_state(args.save_state, state)
@@ -564,40 +555,40 @@ def _render_stateful(args, config, render_mod, state):
     import jax
     import time
 
-    if state is None and not args.single_device and len(jax.devices()) > 1:
+    on_progress = None
+    if args.preview_every > 0:
+        from .utils.export import write_image
+
+        # every process builds the callback (on a multi-process mesh the
+        # grouped render and its per-group collective merge must run on all
+        # of them); only the primary writes the preview file
+        primary = not args.distributed or jax.process_index() == 0
+        base = _output_base(args)
+        last = [time.perf_counter()]
+
+        def on_progress(done, total, partial):
+            now = time.perf_counter()
+            if now - last[0] < args.preview_every or not primary:
+                return
+            last[0] = now
+            img = np.asarray(jax.device_get(render_mod.colorize(config, partial)))
+            fmt = "pam" if args.pam else "bmp" if args.bmp else "png"
+            # NB: no dot in the preview stem — write_image's with_suffix
+            # would treat ".preview" as an extension and replace it,
+            # silently overwriting the final output
+            write_image(base.parent / (base.name + "-preview"), img, fmt=fmt,
+                        transparent=args.transparent, eight_bit=args.eight_bit,
+                        silent=True, announce=False)
+
+    if not args.single_device and len(jax.devices()) > 1:
         from .parallel.mesh import render_sharded
 
-        if args.preview_every > 0:
-            print(
-                "warning: --preview-every is ignored on multi-device renders "
-                "(the sharded program runs as one dispatch); pass "
-                "--single-device to get progressive previews",
-                file=sys.stderr,
-            )
-        state = render_sharded(config, key=None)
+        # standing checkpoints resume ON the mesh (merge-based; bit-exact
+        # to continuing the accumulation) and previews work via grouped
+        # dispatch — both single-device-only until round 5
+        state = render_sharded(config, key=None, state=state,
+                               on_progress=on_progress)
     else:
-        on_progress = None
-        primary = not args.distributed or jax.process_index() == 0
-        if args.preview_every > 0 and primary:
-            from .utils.export import write_image
-
-            base = _output_base(args)
-            last = [time.perf_counter()]
-
-            def on_progress(done, total, partial):
-                now = time.perf_counter()
-                if now - last[0] < args.preview_every:
-                    return
-                last[0] = now
-                img = np.asarray(jax.device_get(render_mod.colorize(config, partial)))
-                fmt = "pam" if args.pam else "bmp" if args.bmp else "png"
-                # NB: no dot in the preview stem — write_image's with_suffix
-                # would treat ".preview" as an extension and replace it,
-                # silently overwriting the final output
-                write_image(base.parent / (base.name + "-preview"), img, fmt=fmt,
-                            transparent=args.transparent, eight_bit=args.eight_bit,
-                            silent=True, announce=False)
-
         state = render_mod.render(config, state, on_progress=on_progress)
     # banded delivery (render.colorize_convert_fetch): convert on device
     # before fetching (2.7x fewer bytes over the device link for the

@@ -130,42 +130,199 @@ def _sharded_cache_key(config, strategy, lanes, chunk_steps, nchunks, devices, k
     )
 
 
-def render_sharded(config: Config, devices=None, key=None) -> RenderState:
+def render_sharded(config: Config, devices=None, key=None, *,
+                   state: RenderState | None = None,
+                   on_progress=None) -> RenderState:
     """Render with trajectory lanes sharded over every device; returns the
     merged (replicated) state. TPU analog of ``render_parallel``
     (src/lib.rs:1051-1082). Compiled programs are cached (angle is a traced
-    argument), so per-frame calls don't recompile."""
-    from ..render import plan_schedule, seed_key
+    argument), so per-frame calls don't recompile.
+
+    ``state`` resumes a standing accumulation on the mesh (the multi-device
+    form of :func:`render.render`'s progressive refinement): the new
+    iterations render sharded and fold into the standing planes with
+    ``runtime.merge`` — bit-identical to continuing the accumulation
+    through the chunk loop, because every plane update is the same
+    commutative/associative op the merge applies (count +, packed max,
+    strict-> z-test with standing-wins ties; pinned in
+    tests/test_parallel.py). Seeded configs derive the same content-based
+    continuation key as the single-device path (render.progressive_key).
+
+    ``on_progress(done_chunks, total_chunks, partial_state)`` splits the
+    mesh render into :data:`render.DISPATCH_GROUP`-chunk dispatches — the
+    multi-device form of :func:`render.render`'s hook: per-device carries
+    (planes, trajectories) persist across dispatches, so the grouped run is
+    bit-identical to the single-program one, and each boundary collectively
+    merges the private canvases into the replicated partial state the
+    callback sees. Grouped dispatch costs one canvas merge per group.
+    """
+    from ..render import plan_schedule, progressive_key, seed_key
+    from ..runtime import merge
 
     mesh = lanes_mesh(devices)
     ndev = mesh.devices.size
-    strategy = config.resolved_bin_strategy(jax.default_backend())
+    resolved = config.resolved_bin_strategy(jax.default_backend())
+    if state is None:
+        strategy = resolved
+    else:
+        if state.shape != (config.height, config.width):
+            raise ValueError(
+                f"state canvas {state.shape} does not match config "
+                f"{(config.height, config.width)}; use state.set_width_height() "
+                "for a reset state of the new size"
+            )
+        # plane-compatible resume, like render(): a PACKED-plane checkpoint
+        # continues through the KERNEL path (same layout and semantics)
+        strategy = resolved if resolved.planes_kind() == state.strategy else state.strategy
+        if key is None and config.seed is not None:
+            key = progressive_key(config, state)
+    if config.iterations < 1 and state is not None:
+        return state
     lanes_total, chunk_steps, nchunks = plan_schedule(config)
     lanes_local = _split_lanes(config, lanes_total, ndev)
-
-    ckey = _sharded_cache_key(
-        config, strategy, lanes_local, chunk_steps, nchunks, mesh.devices.flat, "lanes"
-    )
-    fn = _SHARDED_CACHE.get(ckey)
-    if fn is None:
-        body = _local_render_fn(config, strategy, lanes_local, chunk_steps, nchunks, "lanes")
-        fn = jax.jit(
-            shard_map(
-                body,
-                mesh=mesh,
-                in_specs=(P(), P(), P()),
-                out_specs=P(),
-                check_vma=False,
-            )
-        )
-        _SHARDED_CACHE[ckey] = fn
 
     key = seed_key(config, key)
     dt = jnp.dtype(config.dtype)
     cos_v = jnp.asarray(np.cos(config.angle), dt)
     sin_v = jnp.asarray(np.sin(config.angle), dt)
-    planes = fn(key, cos_v, sin_v)
-    return planes_to_state(planes, strategy, (config.height, config.width))
+
+    if on_progress is None:
+        ckey = _sharded_cache_key(
+            config, strategy, lanes_local, chunk_steps, nchunks, mesh.devices.flat, "lanes"
+        )
+        fn = _SHARDED_CACHE.get(ckey)
+        if fn is None:
+            body = _local_render_fn(config, strategy, lanes_local, chunk_steps, nchunks, "lanes")
+            fn = jax.jit(
+                shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P()),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
+            _SHARDED_CACHE[ckey] = fn
+        planes = fn(key, cos_v, sin_v)
+        fresh = planes_to_state(planes, strategy, (config.height, config.width))
+    else:
+        fresh = _render_sharded_grouped(
+            config, strategy, mesh, lanes_local, chunk_steps, nchunks,
+            key, cos_v, sin_v, on_progress, state,
+        )
+    return fresh if state is None else merge(state, fresh)
+
+
+def _render_sharded_grouped(
+    config: Config, strategy: BinStrategy, mesh: Mesh,
+    lanes_local: int, chunk_steps: int, nchunks: int,
+    key, cos_v, sin_v, on_progress, standing: RenderState | None,
+) -> RenderState:
+    """Multi-dispatch mesh render: per-device carries persist across
+    DISPATCH_GROUP-chunk programs; each group boundary runs the collective
+    canvas merge and hands the replicated partial state to ``on_progress``
+    (merged with the standing state for resumed renders, so previews show
+    the actual progressive image).
+
+    Bit-identity with the single-program path: the init program performs
+    the same per-device key fold and warm-up as ``_local_render_fn``'s
+    body, and composing the chunk scan over groups executes the identical
+    chunk sequence (tests/test_parallel.py pins the equality).
+    """
+    from ..render import DISPATCH_GROUP, _canvas_stepper, _state_to_planes
+    from ..runtime import merge
+
+    devices = mesh.devices.flat
+    local = config.replace(lanes=lanes_local, chunk_steps=chunk_steps)
+    init_local, run_local = _canvas_stepper(
+        local, strategy, lanes_local, chunk_steps
+    )
+    npix = config.width * config.height
+    shape = (config.height, config.width)
+
+    def cache(kind, build):
+        ck = _sharded_cache_key(
+            config, strategy, lanes_local, chunk_steps, nchunks, devices, kind
+        )
+        fn = _SHARDED_CACHE.get(ck)
+        if fn is None:
+            fn = build()
+            _SHARDED_CACHE[ck] = fn
+        return fn
+
+    # all per-device carries are sharded on their leading axis; shard_map
+    # hands the body local blocks with that axis divided by the mesh size
+    sharded = P("lanes")
+
+    def build_init():
+        def body(key):
+            k = jax.random.fold_in(key, lax.axis_index("lanes"))
+            cur, prev, age, rkey = init_local(k)
+            blank = _state_to_planes(RenderState.blank((npix,), strategy), strategy)
+            # leading device axis of size 1 per shard (concatenates to ndev)
+            return tuple(jnp.stack([p]) for p in (*blank, cur, prev, age, rkey))
+
+        return jax.jit(shard_map(
+            body, mesh=mesh, in_specs=(P(),), out_specs=sharded, check_vma=False,
+        ))
+
+    def build_group(n):
+        def body(carry, cos_v, sin_v):
+            nplanes = len(carry) - 4
+            planes = tuple(c[0] for c in carry[:nplanes])
+            cur, prev, age, rkey = (c[0] for c in carry[nplanes:])
+            out = run_local(n, planes, cur, prev, age, rkey, cos_v, sin_v)
+            planes, cur, prev, age, rkey = out
+            return tuple(jnp.stack([p]) for p in (*planes, cur, prev, age, rkey))
+
+        def build():
+            return jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(sharded, P(), P()), out_specs=sharded,
+                check_vma=False,
+            ))
+
+        return cache(("lanes-group", n), build)
+
+    def build_merge():
+        def body(carry):
+            nplanes = len(carry) - 4
+            planes = tuple(c[0] for c in carry[:nplanes])
+            return merge_collective(planes, strategy, "lanes")
+
+        return jax.jit(shard_map(
+            body, mesh=mesh, in_specs=(sharded,), out_specs=P(), check_vma=False,
+        ))
+
+    init_fn = cache(("lanes-init",), build_init)
+    merge_fn = cache(("lanes-merge",), build_merge)
+
+    carry = init_fn(key)
+    inner = min(nchunks, DISPATCH_GROUP)
+    outer_full, rem = divmod(nchunks, inner)
+    done = 0
+
+    def report():
+        partial = planes_to_state(merge_fn(carry), strategy, shape)
+        if standing is not None:
+            partial = merge(standing, partial)
+        on_progress(done, nchunks, partial)
+
+    group_fn = build_group(inner)
+    for _ in range(outer_full):
+        carry = group_fn(carry, cos_v, sin_v)
+        done += inner
+        if done < nchunks:
+            report()
+    if rem:
+        carry = build_group(rem)(carry, cos_v, sin_v)
+        done += rem
+    fresh = planes_to_state(merge_fn(carry), strategy, shape)
+    # final callback sees the finished accumulation (matches render():
+    # the last group also reports)
+    partial = fresh if standing is None else merge(standing, fresh)
+    on_progress(done, nchunks, partial)
+    return fresh
 
 
 def planes_to_state(planes, strategy: BinStrategy, shape) -> RenderState:

@@ -66,6 +66,32 @@ def seed_key(config: Config, key=None):
     return jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
 
 
+def progressive_key(config: Config, state: RenderState):
+    """Content-derived continuation key for seeded progressive renders.
+
+    Distinct trajectories per progressive call: the nonce derives from the
+    accumulated content, so 'seed=N' reproducibility depends only on the
+    starting state — never on how many renders any other state saw earlier
+    in the process. Shared by :func:`render` and the mesh resume path
+    (parallel.mesh.render_sharded) so a checkpoint continues with the same
+    key either way.
+    """
+    if state.count is not None:
+        nonce = int(jax.device_get(state.count.sum())) & 0xFFFFFFFF
+    else:
+        # DEPTH carries no count; hash the z-plane bits instead. Still
+        # purely content-derived: the same starting state gets the same
+        # continuation regardless of call order or process restarts (a
+        # global call counter broke exactly that). Caveat: DEPTH
+        # accumulation is idempotent (pure max), so a progressive call
+        # that updates NO pixel replays the same key next call — but
+        # such a call made zero progress anyway, so the fixed point is
+        # honest.
+        bits = lax.bitcast_convert_type(state.zbuf, jnp.uint32)
+        nonce = int(jax.device_get(jnp.sum(bits, dtype=jnp.uint32))) & 0xFFFFFFFF
+    return jax.random.fold_in(seed_key(config), nonce)
+
+
 def plan_schedule(config: Config) -> tuple[int, int, int]:
     """Resolve (lanes, chunk_steps, nchunks) so that
     lanes * chunk_steps * nchunks ~= iterations.
@@ -541,24 +567,7 @@ def render(
     if config.iterations < 1:
         return state
     if key is None and progressive and config.seed is not None:
-        # distinct trajectories per progressive call. The nonce derives from
-        # the accumulated content, so 'seed=N' reproducibility depends only
-        # on the starting state — never on how many renders any other state
-        # saw earlier in the process.
-        if state.count is not None:
-            nonce = int(jax.device_get(state.count.sum())) & 0xFFFFFFFF
-        else:
-            # DEPTH carries no count; hash the z-plane bits instead. Still
-            # purely content-derived: the same starting state gets the same
-            # continuation regardless of call order or process restarts (a
-            # global call counter broke exactly that). Caveat: DEPTH
-            # accumulation is idempotent (pure max), so a progressive call
-            # that updates NO pixel replays the same key next call — but
-            # such a call made zero progress anyway, so the fixed point is
-            # honest.
-            bits = lax.bitcast_convert_type(state.zbuf, jnp.uint32)
-            nonce = int(jax.device_get(jnp.sum(bits, dtype=jnp.uint32))) & 0xFFFFFFFF
-        key = jax.random.fold_in(seed_key(config), nonce)
+        key = progressive_key(config, state)
 
     lanes, chunk_steps, nchunks = plan_schedule(config)
     # split chunks over a few dispatches so long renders report progress;
@@ -783,6 +792,48 @@ def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: 
     return np.asarray(jax.device_get(colorize(config, state)))
 
 
+def _canvas_stepper(
+    config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int,
+    *, vmapped: bool = False
+):
+    """The two halves of a single-canvas render, for callers that dispatch
+    chunk groups themselves (the grouped mesh path, parallel.mesh):
+
+    - ``init(key) -> (cur, prev, age, rkey)``: seed + warm-up, and the same
+      reseed-key fold as :func:`_canvas_body` — so composing ``run`` over
+      any group split is bit-identical to one full-length run.
+    - ``run(nchunks, planes, cur, prev, age, rkey, cos, sin)``: advance
+      ``nchunks`` chunks, returning the updated carries.
+    """
+    # section sizing must see the executed schedule (see _build_kernels)
+    config = config.replace(lanes=lanes, chunk_steps=chunk_steps)
+    cam = camera_params(config.view, 0.0, config.width, config.height)
+    dt = _dtype(config)
+    step = _step_fn(config, cam, strategy)
+    bin_planes = _bin_fn(config, strategy, vmapped=vmapped)
+
+    def init(key):
+        cur = _seed_warm(config, lanes, dt, key)
+        age = jnp.zeros((lanes,), jnp.int32)
+        rkey = jax.random.fold_in(key, 0x5EED)
+        return cur, cur, age, rkey
+
+    def run(nchunks, planes, cur, prev, age, rkey, cos_v, sin_v):
+        def chunk(carry, _):
+            planes, cur, prev, age, rkey = carry
+            return _chunk_update(
+                config, step, bin_planes, chunk_steps, dt,
+                planes, cur, prev, age, rkey, cos_v, sin_v,
+            ), None
+
+        (planes, cur, prev, age, rkey), _ = lax.scan(
+            chunk, (planes, cur, prev, age, rkey), None, length=nchunks
+        )
+        return planes, cur, prev, age, rkey
+
+    return init, run
+
+
 def _canvas_body(
     config: Config, strategy: BinStrategy, lanes: int, chunk_steps: int, nchunks: int,
     *, vmapped: bool = False
@@ -794,32 +845,15 @@ def _canvas_body(
     executes both pipelines). ``chunk_steps`` must come from
     the same :func:`plan_schedule` as ``nchunks`` (it clamps for small
     iteration counts)."""
-    # section sizing must see the executed schedule (see _build_kernels)
-    config = config.replace(lanes=lanes, chunk_steps=chunk_steps)
-    cam = camera_params(config.view, 0.0, config.width, config.height)
-    dt = _dtype(config)
-    step = _step_fn(config, cam, strategy)
+    init, run = _canvas_stepper(config, strategy, lanes, chunk_steps, vmapped=vmapped)
     npix = config.width * config.height
 
     def body(key, cos_v, sin_v):
-        cur = _seed_warm(config, lanes, dt, key)
-        prev = cur
-        age = jnp.zeros((lanes,), jnp.int32)
-        rkey = jax.random.fold_in(key, 0x5EED)
-
+        cur, prev, age, rkey = init(key)
         # one source of truth for blank planes (RenderState.blank): a
         # hand-rolled copy here would have to track layout/sentinel changes
         acc = _state_to_planes(RenderState.blank((npix,), strategy), strategy)
-        bin_planes = _bin_fn(config, strategy, vmapped=vmapped)
-
-        def chunk(carry, _):
-            planes, cur, prev, age, rkey = carry
-            return _chunk_update(
-                config, step, bin_planes, chunk_steps, dt,
-                planes, cur, prev, age, rkey, cos_v, sin_v,
-            ), None
-
-        (acc, _, _, _, _), _ = lax.scan(chunk, (acc, cur, prev, age, rkey), None, length=nchunks)
+        acc, _, _, _, _ = run(nchunks, acc, cur, prev, age, rkey, cos_v, sin_v)
         return acc
 
     return body

@@ -333,3 +333,35 @@ def test_palette_range_validated():
     with pytest.raises(SystemExit):
         _validate(p.parse_args(["--palette", "1,1,1.5"]), p)
     _validate(p.parse_args(["--palette", "1,1,1;.5,0,0"]), p)
+
+
+def test_load_state_on_mesh_no_warning(tmp_path, capsys):
+    """--load-state resumes ON the multi-device mesh (round-4 verdict
+    item 5): no single-device fallback warning, and the resumed render
+    keeps accumulating (count sum doubles for the same budget)."""
+    import numpy as np
+
+    from strange_attractor_tpu.runtime import load_state
+
+    ckpt = tmp_path / "state.npz"
+    out = tmp_path / "img"
+    assert main(FAST + ["-o", str(out), "--save-state", str(ckpt)]) == 0
+    first = int(np.asarray(load_state(str(ckpt)).count).sum())
+    capsys.readouterr()
+    assert main(FAST + ["-o", str(out), "--load-state", str(ckpt),
+                        "--save-state", str(ckpt)]) == 0
+    assert "warning" not in capsys.readouterr().err
+    assert int(np.asarray(load_state(str(ckpt)).count).sum()) == 2 * first
+
+
+def test_preview_every_works_on_mesh(tmp_path, capsys):
+    """--preview-every on a multi-device render (round-4 verdict item 6):
+    grouped mesh dispatch produces the preview file instead of a warning."""
+    out = tmp_path / "img"
+    rc = main(["-i", "102400", "-w", "32", "-h", "18", "--lanes", "64",
+               "--chunk-steps", "16", "--seed", "1", "-q",
+               "--preview-every", "0.0001", "-o", str(out)])
+    assert rc == 0
+    assert "warning" not in capsys.readouterr().err
+    assert (tmp_path / "img.png").exists()
+    assert (tmp_path / "img-preview.png").exists()

@@ -412,3 +412,134 @@ def test_render_sequence_seeded_matches_batched():
     batched = render_sequence_batched(cfg, [0.0, 1.0, 2.0])
     for a, b in zip(per_frame, batched):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("strategy", [
+    BinStrategy.KERNEL, BinStrategy.EXACT16_KERNEL, BinStrategy.DEPTH_KERNEL,
+])
+def test_merge_based_resume_equals_accumulation(strategy):
+    """The property mesh resume rests on: folding a FRESH render into a
+    standing state with runtime.merge is bit-identical to continuing the
+    accumulation through the chunk loop — every plane update is the same
+    commutative op the merge applies (count +, packed max, strict-> z-test
+    with standing-wins ties)."""
+    from strange_attractor_tpu.runtime import merge
+
+    depth = strategy is BinStrategy.DEPTH_KERNEL
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=60_000, lanes=128, chunk_steps=32,
+        seed=5, bin_strategy=strategy,
+        render=RenderKind.DEPTH if depth else RenderKind.GAS,
+    )
+    standing = render(cfg)
+    key = jax.random.PRNGKey(123)
+    resumed = render(cfg, standing, key)
+    merged = merge(standing, render(cfg, None, key))
+    for a, b in zip(resumed, merged):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("strategy", [BinStrategy.KERNEL, BinStrategy.DEPTH_KERNEL])
+def test_render_sharded_resume(cpu_devices, strategy):
+    """--load-state on a mesh: the standing accumulation folds into the
+    sharded render (round-4 verdict item 5; the CLI used to fall back to a
+    single device). Bit-equal to merging the sharded fresh render by hand,
+    and the seeded no-key call derives the same content-based continuation
+    key as the single-device path."""
+    from strange_attractor_tpu.render import progressive_key
+    from strange_attractor_tpu.runtime import merge
+
+    depth = strategy is BinStrategy.DEPTH_KERNEL
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=60_000, lanes=256, chunk_steps=32,
+        seed=6, bin_strategy=strategy,
+        render=RenderKind.DEPTH if depth else RenderKind.GAS,
+    )
+    standing = render(cfg)  # single-device accumulation, then resume on mesh
+    key = progressive_key(cfg, standing)
+    want = merge(standing, render_sharded(cfg, cpu_devices, key))
+    got = render_sharded(cfg, cpu_devices, state=standing)
+    for a, b in zip(got, want):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the resumed state kept accumulating (count grows / depth coverage)
+    if depth:
+        assert (np.asarray(got.zbuf) != -1.0).sum() >= (np.asarray(standing.zbuf) != -1.0).sum()
+    else:
+        assert np.asarray(got.count).sum() == 2 * np.asarray(standing.count).sum()
+
+
+def test_render_sharded_resume_shape_mismatch(cpu_devices):
+    from strange_attractor_tpu.runtime import RenderState
+
+    cfg = presets.poisson_saturne(width=48, height=27, iterations=10_000,
+                                  lanes=64, chunk_steps=16, seed=1)
+    wrong = RenderState.blank((10, 10), BinStrategy.PACKED)
+    with pytest.raises(ValueError, match="does not match config"):
+        render_sharded(cfg, cpu_devices, state=wrong)
+
+
+def test_render_sharded_grouped_bit_identical(cpu_devices, monkeypatch):
+    """Grouped mesh dispatch (--preview-every's machinery, round-4 verdict
+    item 6) must be bit-identical to the single-program mesh render: same
+    per-device key folds, same chunk sequence — only the dispatch
+    boundaries move. The progress callback sees monotone accumulation."""
+    import importlib
+
+    render_mod = importlib.import_module("strange_attractor_tpu.render")
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=120_000, lanes=256, chunk_steps=16,
+        seed=7, bin_strategy=BinStrategy.KERNEL,
+    )
+    key = jax.random.PRNGKey(3)
+    want = render_sharded(cfg, cpu_devices, key)
+
+    monkeypatch.setattr(render_mod, "DISPATCH_GROUP", 4)
+    calls = []
+
+    def on_progress(done, total, partial):
+        calls.append((done, total, int(np.asarray(partial.count).sum())))
+
+    got = render_sharded(cfg, cpu_devices, key, on_progress=on_progress)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.packed), np.asarray(want.packed))
+    assert len(calls) >= 2
+    assert calls[-1][0] == calls[-1][1]  # final callback reports completion
+    sums = [c[2] for c in calls]
+    assert sums == sorted(sums) and sums[-1] > sums[0]
+
+
+def test_render_sharded_grouped_resume_preview(cpu_devices, monkeypatch):
+    """Grouped dispatch + standing state: previews show standing + partial
+    (the actual progressive image), and the result matches the
+    single-program resume bit-for-bit."""
+    import importlib
+
+    render_mod = importlib.import_module("strange_attractor_tpu.render")
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=60_000, lanes=256, chunk_steps=16,
+        seed=9, bin_strategy=BinStrategy.KERNEL,
+    )
+    standing = render(cfg)
+    key = jax.random.PRNGKey(17)
+    want = render_sharded(cfg, cpu_devices, key, state=standing)
+
+    monkeypatch.setattr(render_mod, "DISPATCH_GROUP", 4)
+    base = int(np.asarray(standing.count).sum())
+    seen = []
+
+    def on_progress(done, total, partial):
+        seen.append(int(np.asarray(partial.count).sum()))
+
+    got = render_sharded(cfg, cpu_devices, key, state=standing,
+                         on_progress=on_progress)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.packed), np.asarray(want.packed))
+    assert all(s > base for s in seen)  # previews include the standing state

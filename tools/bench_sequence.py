@@ -164,6 +164,30 @@ def main() -> None:
     assert imgs8.shape == (frames, 1080, 1920, 3) and imgs8.dtype == np.uint8
     assert imgs8[-1].max() > 0
 
+    # the same delivered-sequence wall through the FASTEST device path
+    # (shared orbit, CLI `sequence --orbit shared -8`): one warm-up + map
+    # per batch, per-frame binning, device-side 8-bit conversion, fetches
+    # overlapped with the next batch's render
+    from strange_attractor_tpu.render import render_sequence_shared
+
+    sfpb = min(fpb, frames)
+    render_sequence_shared(
+        cfg, angles[:sfpb], frames_per_batch=sfpb, transparent=False,
+        eight_bit=True,
+    )
+    if frames % sfpb:
+        render_sequence_shared(
+            cfg, angles[: frames % sfpb], frames_per_batch=sfpb,
+            transparent=False, eight_bit=True,
+        )
+    t0 = time.perf_counter()
+    imgs8s = render_sequence_shared(
+        cfg, angles, frames_per_batch=sfpb, transparent=False, eight_bit=True
+    )
+    e2e_shared_s = time.perf_counter() - t0
+    assert imgs8s.shape == (frames, 1080, 1920, 3) and imgs8s.dtype == np.uint8
+    assert imgs8s[-1].max() > 0
+
     total_iters = frames * per_frame
     print(json.dumps({
         "metric": "sequence frames/sec/chip (device render+colorize)",
@@ -181,6 +205,8 @@ def main() -> None:
         "e2e_8bit_s": round(e2e_s, 3),
         "e2e_frames_per_sec": round(frames / e2e_s, 3),
         "e2e_fetched_mb": round(imgs8.nbytes / 1e6, 1),
+        "e2e_shared_8bit_s": round(e2e_shared_s, 3),
+        "e2e_shared_frames_per_sec": round(frames / e2e_shared_s, 3),
         "device": str(jax.devices()[0]),
     }))
 
