@@ -90,18 +90,22 @@ LANES = 128
 # window visits. End-to-end ladder at ROW_LANES=1024 (4e8 workload):
 # 128 -> 259M, 64 -> 391.7M, 32 -> 431.8M, 16 -> 424.3M iters/s.
 WINDOW_ROWS = 32
-# points per kernel row: wider rows deepen the dot contraction (K=1024) and
-# cut per-row overheads (acc add, winner mask, window reductions, loop trip
-# count); the canvas layout is unaffected because crow/ccol derive from
-# the flat pixel value, not the row shape. End-to-end ladder: 128 -> 178M,
-# 512 -> 268M, 1024 -> best, 2048 -> tie (wider rows span multiple windows
-# more often, re-running the dot per window visited; docs/KERNEL_NOTES.md).
+# points per kernel row: wider rows deepen the dot contraction (K=row
+# lanes) and cut per-row overheads (acc add, winner mask, window
+# reductions, loop trip count); the canvas layout is unaffected because
+# crow/ccol derive from the flat pixel value, not the row shape. The
+# round-2 f32-apply ladder read 1024 best / 2048 tie, but the int8 MXU
+# apply (round 3) halved the per-MAC cost and flipped it: the round-5
+# end-to-end sweep at 1e9 (tools/probe_window.py, docs/KERNEL_NOTES.md)
+# reads (W=32, RL=1024) 540.6M, (32, 2048) 552.8M, (64, 1024) 520.7M,
+# (16, 1024) 519.9M, (64, 2048) 536.0M iters/s — deeper rows now win
+# because the extra window visits cost cheap i8 MACs.
 # SAR_ROW_LANES is a measurement knob for end-to-end geometry sweeps
 # (tools/probe_window.py) — it must be set before first import because the
 # @jax.jit caches of the bin functions do not key on it.
 import os as _os
 
-ROW_LANES = int(_os.environ.get("SAR_ROW_LANES", "1024"))
+ROW_LANES = int(_os.environ.get("SAR_ROW_LANES", "2048"))
 DEFAULT_SECTION = 1 << 17
 
 

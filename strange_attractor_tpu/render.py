@@ -36,8 +36,9 @@ from .runtime import RenderState
 _KERNEL_CACHE: dict = {}
 # chunks per device dispatch: each dispatch pays ~4 ms of tunnel latency,
 # so bigger groups amortize it; smaller groups report progress more often.
-# 64 costs one progress line per ~0.27 s of flagship render.
-DISPATCH_GROUP = 64
+# 64 costs one progress line per ~0.27 s of flagship render. The env knob
+# exists for end-to-end A/B probes (tools/); it must be set before import.
+DISPATCH_GROUP = int(__import__("os").environ.get("SAR_DISPATCH_GROUP", "64"))
 # compiled vmapped sequence-batch programs (see render_sequence_batched)
 _BATCHED_CACHE: dict = {}
 # compiled shared-orbit sequence programs (see render_sequence_shared)
