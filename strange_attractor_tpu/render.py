@@ -694,9 +694,14 @@ def colorize_convert_fetch(
     to the unbanded ``colorize`` + ``convert_format`` result (pinned in
     tests/test_export.py).
 
-    ``bands``: explicit arg > ``SAR_COLORIZE_BANDS`` env > 4, snapped to the
+    ``bands``: explicit arg > ``SAR_COLORIZE_BANDS`` env > 8, snapped to the
     largest divisor of the canvas height at most the request. ``bands=1``
-    (or a 1-row canvas) is exactly the plain pipeline.
+    (or a 1-row canvas) is exactly the plain pipeline. The default is set
+    by the end-to-end ladder in tools/probe_delivery.py: ~0.8 MB band
+    transfers are both the fastest AND the lowest-variance point on the
+    tunnel (slow-weather medians: 1 band 0.35 s, 2 -> 0.48, 4 -> 0.38,
+    8 -> 0.21, 16 -> 0.24), so 8 bands wins on bad days and ties the
+    round-4 4-band default on good ones.
     """
     import os
 
@@ -705,7 +710,7 @@ def colorize_convert_fetch(
 
     h, w = state.shape
     if bands is None:
-        bands = int(os.environ.get("SAR_COLORIZE_BANDS", "4"))
+        bands = int(os.environ.get("SAR_COLORIZE_BANDS", "8"))
     bands = _largest_divisor_at_most(h, bands)
     if bands <= 1:
         return fetch_image(

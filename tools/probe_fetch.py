@@ -1,112 +1,107 @@
-"""Sweep the host-fetch band count for a real 1080p 8-bit frame.
+"""Is the tunnel host fetch per-BYTE or per-ELEMENT bound? (round 5)
 
-``utils.export.fetch_image`` splits the u32-packed frame into TWO async
-in-flight transfers, which measured ~25% faster than one on the tunneled
-dev platform (the tunnel charges per-transfer bookkeeping that overlaps
-across in-flight RPCs). This probe asks whether MORE bands keep paying:
-it renders a short flagship frame, colorizes + converts on device (the
-bench deliverable), then times 1/2/4/8-band u32 fetches best-of-N each.
+The banded delivery packs the 8-bit deliverable into u32 words because the
+narrow-dtype fetch measured 2.7x slower (round 3) — which is evidence for
+per-element cost, not per-byte. If the transport is element-bound, packing
+into u64 (or wider) should halve the fetch leg again; if byte-bound, u64
+changes nothing. This probe times device_get of the SAME 5.9 MB payload
+(the flagship 8-bit RGB frame size) at every element width, plus the
+16-bit deliverable size, and band splits.
 
-    python tools/probe_fetch.py [iters] [reps]
-
-Prints one JSON line per band count. Run on the real TPU; on CPU the
-transfer is host-local and the sweep is meaningless.
+Method notes (CLAUDE.md): each rep re-creates the device array (jax caches
+host copies on the Array); sync by fetching a scalar first so the timed
+region is pure transfer; best and median of N reported.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+
+def _time_fetch(make, reps: int = 5) -> dict:
+    import jax
+    import numpy as np
+
+    times = []
+    for _ in range(reps):
+        arr = make()
+        float(jax.device_get(arr.ravel()[0]))  # sync the producing dispatch
+        t0 = time.perf_counter()
+        host = np.asarray(jax.device_get(arr))
+        times.append(time.perf_counter() - t0)
+        del host
+    times.sort()
+    return {"best_s": round(times[0], 4),
+            "med_s": round(times[len(times) // 2], 4)}
 
 
 def main() -> None:
-    iters = int(float(sys.argv[1])) if len(sys.argv) > 1 else 10**8
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
-    from strange_attractor_tpu import colorize, presets, render
-    from strange_attractor_tpu.config import BrightnessConstants, Colors
-    from strange_attractor_tpu.utils.export import convert_format_device
-    from strange_attractor_tpu.utils.profiling import hard_sync
+    nbytes = 1920 * 1080 * 3  # the flagship 8-bit RGB deliverable + pad
+    nbytes -= nbytes % 8
 
-    cfg = presets.poisson_saturne(
-        iterations=iters,
-        colors=Colors(brightness=BrightnessConstants(offset=-0.25)),
-        seed=0,
-        silent=True,
-    )
-    st = render(cfg, key=jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(0)
 
-    @jax.jit
-    def colorize8(state):
-        return convert_format_device(colorize(cfg, state), False, True)
+    def dev_u8():
+        return jax.random.randint(key, (nbytes,), 0, 255, jnp.uint8)
 
-    img = colorize8(st)
-    hard_sync(img)
-    n = int(np.prod(img.shape))
-    assert img.dtype == np.uint8 and n % 4 == 0, (img.dtype, img.shape)
-    packed = jax.jit(
-        lambda a: lax.bitcast_convert_type(a.reshape(-1, 4), jnp.uint32)
-    )(img)
-    hard_sync(packed)
-    words = packed.shape[0]
-    direct = np.asarray(jax.device_get(img))
+    base = dev_u8()
 
-    for bands in (1, 2, 4, 8, 16):
-        if words % bands:
-            continue
-        per = words // bands
+    results = {"payload_mb": round(nbytes / 1e6, 2),
+               "device": str(jax.devices()[0])}
+    results["u8"] = _time_fetch(lambda: base + 0)
+    results["u16"] = _time_fetch(
+        lambda: jax.lax.bitcast_convert_type((base + 0).reshape(-1, 2), jnp.uint16))
+    results["u32"] = _time_fetch(
+        lambda: jax.lax.bitcast_convert_type((base + 0).reshape(-1, 4), jnp.uint32))
+    # f32 has the same element width as u32 — a pure dtype-handling check
+    results["f32"] = _time_fetch(
+        lambda: jax.lax.bitcast_convert_type((base + 0).reshape(-1, 4), jnp.float32))
+    # u64 needs x64 for the HOST-side dtype; the device bitcast itself is
+    # fine either way. (Moot since the byte-bound finding, kept for
+    # completeness — docs/KERNEL_NOTES.md round 5.)
+    try:
+        with jax.enable_x64(True):
+            u64fn = jax.jit(
+                lambda b: jax.lax.bitcast_convert_type(b.reshape(-1, 8), jnp.uint64))
+            arr64 = u64fn(base)
+            assert arr64.dtype == jnp.uint64, arr64.dtype
+            results["u64"] = _time_fetch(lambda: u64fn(base + 0))
+    except Exception as e:  # pragma: no cover - probe robustness
+        results["u64"] = {"error": repr(e)}
 
-        # FRESH device arrays every rep: jax caches the host copy on the
-        # Array object after the first device_get, so re-fetching the same
-        # slices times a host-side no-op (this probe once reported 9 GB/s
-        # over a ~50 MB/s link that way). The XOR with the rep index cannot
-        # be folded away, so every rep transfers real new bytes; the host
-        # XORs them back for verification.
-        @jax.jit
-        def make_parts(a, r, per=per, bands=bands):
-            x = lax.bitcast_convert_type(a.reshape(-1, 4), jnp.uint32) ^ r
-            return [x[i * per : (i + 1) * per] for i in range(bands)]
+    # band splits of the u32 payload: per-transfer overhead vs overlap
+    for bands in (2, 4, 8):
+        def make_parts(bands=bands):
+            flat = jax.lax.bitcast_convert_type((base + 0).reshape(-1, 4),
+                                                jnp.uint32)
+            return [flat[k * flat.shape[0] // bands:
+                         (k + 1) * flat.shape[0] // bands] for k in range(bands)]
 
-        best = None
-        host = None
-        for rep in range(reps):
-            parts = make_parts(img, jnp.uint32(rep))
-            for p in parts:
-                hard_sync(p)  # band setup (slices + XOR) is not the question
+        import numpy as np
+
+        times = []
+        for _ in range(5):
+            parts = make_parts()
+            float(jax.device_get(parts[0][0]))
             t0 = time.perf_counter()
             for p in parts:
                 p.copy_to_host_async()
-            host = np.concatenate([np.asarray(jax.device_get(p)) for p in parts])
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            got = (
-                np.ascontiguousarray(host ^ np.uint32(rep))
-                .view(np.uint8)
-                .reshape(img.shape)
-            )
-            np.testing.assert_array_equal(got, direct)
-        print(
-            json.dumps(
-                {
-                    "bands": bands,
-                    "best_s": round(best, 4),
-                    "mb": round(n / 1e6, 2),
-                    "mb_per_s": round(n / 1e6 / best, 1),
-                    "reps": reps,
-                }
-            ),
-            flush=True,
-        )
+            for p in parts:
+                np.asarray(jax.device_get(p))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        results[f"u32_bands{bands}"] = {"best_s": round(times[0], 4),
+                                        "med_s": round(times[len(times) // 2], 4)}
+
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -24,11 +24,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 GRID = [
-    (32, 1024),  # shipped baseline
+    (32, 1024),  # round-2..4 shipped geometry
     (64, 1024),  # fewer visits, 2x MACs/visit — the untested i8 cell
     (16, 1024),
-    (32, 2048),
+    (32, 2048),  # round-5 winner (552.8M vs 540.6M) — shipped default
     (64, 2048),
+    (16, 2048),  # gradient neighbors of the winner: both fall away
+    (32, 4096),  # (docs/KERNEL_NOTES.md round-5 table)
 ]
 
 
