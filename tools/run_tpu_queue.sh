@@ -30,8 +30,11 @@ run 20 check_kernels      python tools/check_kernels.py
 run 20 check_kernels_x64  python tools/check_kernels.py --x64
 # 3. the headline bench (also certifies kernels at production section size)
 run 30 bench              python bench.py
-# 4. fetch band sweep + plain-vs-banded delivery tail
-run 15 probe_fetch        python tools/probe_fetch.py 1e8
+# 4. fetch transport check + end-to-end delivery band ladder (sets the
+#    colorize_convert_fetch default; probe_overlap is the older plain-vs-
+#    banded A/B, superseded but kept for cross-checks)
+run 15 probe_fetch        python tools/probe_fetch.py
+run 15 probe_delivery     python tools/probe_delivery.py 1e8
 run 15 probe_overlap      python tools/probe_overlap.py 1e8
 # 5. re-verify the earliest-ties exact16 rate (the tool's ties arg was fixed)
 run 25 bench_exact16      python tools/bench_exact16.py 1e9 earliest
