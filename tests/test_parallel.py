@@ -130,6 +130,11 @@ def test_banded_delivery_on_sharded_state(cpu_devices):
     )
     got = colorize_convert_fetch(cfg, st, transparent=False, eight_bit=True, bands=4)
     np.testing.assert_array_equal(got, expected)
+    # second call rides the lit-bbox CROP learned from the first call's
+    # rider (render.colorize_convert_fetch crop path) — the cropped band
+    # slices must also run on the sharded canvas, byte-identical
+    got = colorize_convert_fetch(cfg, st, transparent=False, eight_bit=True, bands=4)
+    np.testing.assert_array_equal(got, expected)
 
 
 def test_render_sequence_sharded(cpu_devices):
