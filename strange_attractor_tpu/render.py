@@ -707,16 +707,24 @@ def _crop_window(bbox, h: int, w: int):
 
 
 def _rider_bits(config, st, stats, transparent: bool, eight_bit: bool):
-    """Traced helper: the (4 + channels) uint32 delivery rider.
+    """Traced helper: the (4 + 2*channels) uint32 delivery rider.
 
-    ``[r_lo, r_hi, c_lo, c_hi, fill...]`` where the bbox is the lit row/col
-    extent of the accumulation (count > 0, or zbuf != -1 for depth-only
-    states — a superset of every pixel the tone map can light) and ``fill``
-    is the converted output of an UNLIT pixel, computed through the
-    identical colorize + convert path (a 1x1 unlit plane set with the real
-    stats), so a host-side constant fill outside the bbox is bit-exact by
-    construction. Two any-reductions + a 1x1 tone map: ~nothing next to a
-    band's compute.
+    ``[r_lo, r_hi, c_lo, c_hi, fill..., corner...]`` where the bbox is the
+    lit row/col extent of the accumulation (count > 0, or zbuf != -1 for
+    depth-only states — a superset of every pixel the tone map can light)
+    EXCLUDING pixel (0, 0), ``fill`` is the converted output of an UNLIT
+    pixel (a 1x1 unlit plane set through the identical colorize + convert
+    path with the real stats), and ``corner`` is the converted output of
+    pixel (0, 0) itself, from the real planes through the same path.
+
+    Pixel (0, 0) is excluded because the reference's NaN quirk floods it
+    on escaping presets (solar-sail: ~38% of all points — see
+    ops/kernel_binning.py), pinning an otherwise-interior bbox to the
+    origin; the host pastes ``corner`` back after the fill, which is a
+    no-op for non-flood renders (an unlit corner's output IS the fill).
+    Two any-reductions + two 1x1 tone maps: ~nothing next to a band's
+    compute, and the constant fill + corner paste outside the bbox stay
+    bit-exact by construction.
     """
     from .utils.export import convert_format_device
 
@@ -724,6 +732,7 @@ def _rider_bits(config, st, stats, transparent: bool, eight_bit: bool):
         mask = st.count > 0
     else:
         mask = st.zbuf != jnp.float32(-1.0)
+    mask = mask.at[0, 0].set(False)
     h, w = mask.shape
     rows = jnp.any(mask, axis=1)
     cols = jnp.any(mask, axis=0)
@@ -739,12 +748,15 @@ def _rider_bits(config, st, stats, transparent: bool, eight_bit: bool):
         zbuf=None if st.zbuf is None else jnp.full((1, 1), -1.0, jnp.float32),
         packed=None if st.packed is None else jnp.zeros((1, 1), jnp.uint32),
     )
-    fimg = convert_format_device(
-        colorize_planes(config, *state_planes(unlit), stats=stats),
-        transparent, eight_bit)
-    fill = fimg.reshape(-1).astype(jnp.uint32)
+    corner = RenderState(*(None if p is None else p[:1, :1] for p in st))
+    pixels = []
+    for one in (unlit, corner):
+        img = convert_format_device(
+            colorize_planes(config, *state_planes(one), stats=stats),
+            transparent, eight_bit)
+        pixels.append(img.reshape(-1).astype(jnp.uint32))
     bbox = jnp.stack([r_lo, r_hi, c_lo, c_hi]).astype(jnp.uint32)
-    return jnp.concatenate([bbox, fill])
+    return jnp.concatenate([bbox] + pixels)
 
 
 def _append_rider(flat, rider):
@@ -791,8 +803,10 @@ def colorize_convert_fetch(
     59.7% of the canvas (measured stable from 1e6 to 1e9 iterations,
     tools/probe_bbox.py), a 2.5 MB saving on the byte-bound tunnel. The
     bbox is learned with zero extra round trips: every banded fetch
-    appends a tiny rider (actual bbox + unlit fill value, 8 uint32s) to
-    band 0's transfer, cached per deliverable; the NEXT delivery crops to
+    appends a tiny rider (actual bbox excluding the reference's flood
+    pixel (0,0) + unlit fill value + pixel (0,0)'s own value; 4+2*channels
+    uint32s) to band 0's transfer, cached per deliverable; the NEXT
+    delivery crops to
     the cached bbox (snapped to 8-row/64-col quanta with one quantum of
     margin) and its own rider re-verifies containment and fill equality,
     falling back to the full-canvas fetch on any mismatch (support growth
@@ -878,7 +892,7 @@ def colorize_convert_fetch(
 
     channels = 4 if transparent else 3
     dtype = np.uint8 if eight_bit else np.uint16
-    rider_len = 4 + channels
+    rider_len = 4 + 2 * channels
 
     def parse_rider(arr: np.ndarray):
         arr = np.ascontiguousarray(arr)
@@ -888,8 +902,9 @@ def colorize_convert_fetch(
             n = rider_len * (4 // arr.itemsize)
             rider, body = arr[-n:].view(np.uint32), arr[:-n]
         bbox = tuple(int(v) for v in rider[:4])
-        fill = tuple(int(v) for v in rider[4:])
-        return body, bbox, fill
+        fill = tuple(int(v) for v in rider[4:4 + channels])
+        corner = tuple(int(v) for v in rider[4 + channels:])
+        return body, bbox, fill, corner
 
     stats = stats_fn(state)
     cached = _CROP_CACHE.get(base_key) if crop else None
@@ -921,9 +936,9 @@ def colorize_convert_fetch(
             p.copy_to_host_async()
         hosts = [np.ascontiguousarray(np.asarray(jax.device_get(p)))
                  for p in parts]
-        bbox = fill = None
+        bbox = fill = corner = None
         if crop:
-            hosts[0], bbox, fill = parse_rider(hosts[0])
+            hosts[0], bbox, fill, corner = parse_rider(hosts[0])
         if window is not None:
             a_lo, a_hi, b_lo, b_hi = bbox
             if not (r0 <= a_lo and a_hi <= r1 and c0 <= b_lo and b_hi <= c1
@@ -939,6 +954,12 @@ def colorize_convert_fetch(
         for (start, n), hp in zip(spans, hosts):
             out[start:start + n, c0:c1] = hp.view(dtype).reshape(
                 n, ncols, channels)
+        if window is not None:
+            # the bbox excludes pixel (0,0) (the reference's flood-pixel
+            # quirk pins escaping presets' bbox to the origin); its exact
+            # converted value rides with THIS delivery — a no-op when the
+            # corner is unlit (its output is the fill) or inside the window
+            out[0, 0] = np.array(corner, dtype)
         return out, bbox, fill
 
     if cached is not None:

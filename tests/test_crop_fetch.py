@@ -182,6 +182,60 @@ def test_progressive_growth_is_caught_by_rider(small_render):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_flood_corner_excluded_from_bbox(small_render):
+    """The reference's NaN quirk floods pixel (0,0) on escaping presets
+    (solar-sail: ~38% of all points), which would pin the lit bbox to the
+    origin. The rider excludes the corner from the bbox and carries its
+    converted value instead; the host pastes it back — so the crop window
+    must NOT extend to the origin and the corner byte must be exact."""
+    cfg, st = small_render
+    flooded = RenderState(
+        count=st.count.at[0, 0].add(500_000),
+        steps=st.steps, zbuf=st.zbuf, packed=st.packed,
+    )
+    ref = _plain(cfg, flooded, False, True)
+    assert ref[0, 0].max() > 0, "flood corner should be lit in the reference"
+    for call in range(3):
+        got = colorize_convert_fetch(
+            cfg, flooded, transparent=False, eight_bit=True, crop=True
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"call {call}")
+    entries = [
+        v for k, v in _CROP_CACHE.items()
+        if k[6] == (cfg.height, cfg.width) and not k[7] and k[8]
+    ]
+    bbox = entries[-1]["bbox"]
+    assert bbox[0] > 0 and bbox[2] > 0, (
+        f"flood corner leaked into the learned bbox: {bbox}"
+    )
+
+
+def test_flood_corner_outside_window_is_pasted(small_render):
+    """Corner OUTSIDE the crop window: an interior-only blob keeps the
+    snapped window away from the origin, so the flooded (0,0) byte can
+    only arrive via the rider's corner paste."""
+    cfg, st = small_render
+    blob = jnp.zeros_like(st.count).at[40:60, 130:150].set(9)
+    synth = RenderState(
+        count=blob.at[0, 0].set(123_456),
+        steps=jnp.zeros_like(st.steps).at[40:60, 130:150].set(0.4),
+        zbuf=jnp.full_like(st.zbuf, -1.0).at[40:60, 130:150].set(0.2),
+        packed=None,
+    )
+    ref = _plain(cfg, synth, False, True)
+    assert ref[0, 0].max() > 0
+    for call in range(3):
+        got = colorize_convert_fetch(
+            cfg, synth, transparent=False, eight_bit=True, crop=True
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"call {call}")
+    entries = [
+        v for k, v in _CROP_CACHE.items()
+        if k[6] == (cfg.height, cfg.width) and not k[7] and k[8]
+    ]
+    assert entries[-1]["bbox"] == (40, 60, 130, 150)
+
+
 def test_crop_disabled_matches(small_render):
     cfg, st = small_render
     ref = _plain(cfg, st, False, True)
