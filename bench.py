@@ -284,10 +284,17 @@ def main() -> None:
     warm16 = colorize16(state)
     hard_sync(warm16)
     fetch_image(warm16)
+    # ship 16-bit through the same banded + lit-bbox-cropped delivery the
+    # CLI uses (two warm calls: learn the bbox, compile the cropped bands)
+    from strange_attractor_tpu.render import colorize_convert_fetch as ccf
+
+    for _ in range(2):
+        warm16_banded = ccf(cfg, state, transparent=False, eight_bit=False)
+    np.testing.assert_array_equal(warm16_banded, fetch_image(warm16))
     tail16 = None
     for _ in range(2):
         t0 = time.perf_counter()
-        img16_host = fetch_image(colorize16(state))
+        img16_host = ccf(cfg, state, transparent=False, eight_bit=False)
         t16 = time.perf_counter() - t0
         tail16 = t16 if tail16 is None else min(tail16, t16)
     assert img16_host.shape == (1080, 1920, 3) and img16_host.dtype == np.uint16

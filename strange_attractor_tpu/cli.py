@@ -571,7 +571,15 @@ def _render_stateful(args, config, render_mod, state):
             if now - last[0] < args.preview_every or not primary:
                 return
             last[0] = now
-            img = np.asarray(jax.device_get(render_mod.colorize(config, partial)))
+            # banded + lit-bbox-cropped delivery of the CONVERTED preview
+            # (write_image's convert_format is idempotent): repeated
+            # previews of a growing accumulation are exactly the case the
+            # crop cache serves — ~2.7x fewer bytes than the raw u16 RGBA
+            # fetch before cropping, and the bbox rider re-learns as the
+            # support grows
+            img = render_mod.colorize_convert_fetch(
+                config, partial,
+                transparent=args.transparent, eight_bit=args.eight_bit)
             fmt = "pam" if args.pam else "bmp" if args.bmp else "png"
             # NB: no dot in the preview stem — write_image's with_suffix
             # would treat ".preview" as an extension and replace it,
