@@ -382,7 +382,7 @@ def render_sequence_sharded(
     folds into the key), so cross-row coherence is that of distinct seeds,
     like the single-device path's per-batch orbits.
     """
-    from ..render import plan_schedule, seed_key
+    from ..render import _expand_wire, _wire_channels, plan_schedule, seed_key
     from ..ops.colorize import colorize_planes, state_planes
     from ..utils.export import convert_format_device, fetch_image
 
@@ -453,6 +453,8 @@ def render_sequence_sharded(
     )
     fn = _SHARDED_CACHE.get(ckey)
 
+    wire, full = _wire_channels(config, transparent)
+
     def _colorize_flat(*pl):
         st = planes_to_state(pl, strategy, (config.height, config.width))
         img = colorize_planes(config, *state_planes(st))
@@ -460,7 +462,11 @@ def render_sequence_sharded(
         # a (F, H, W, 4) u16 batch pads the 4-wide minor dim to 128
         # under TPU tiling (32x the bytes — see
         # render_sequence_batched); host reshapes back
-        return convert_format_device(img, transparent, eight_bit).reshape(-1)
+        img = convert_format_device(img, transparent, eight_bit)
+        if wire != full:
+            # DEPTH wire reduction (render._wire_channels): 3x fewer bytes
+            img = img[..., :wire]
+        return img.reshape(-1)
 
     if fn is None and orbit == "shared":
         from ..render import _canvas_body_shared
@@ -526,7 +532,8 @@ def render_sequence_sharded(
         frames = fn(gkey, cos_all, sin_all)
         # u32-bitcast fast path; gathers the sharded result like device_get
         host = fetch_image(frames)
-        outs.append(
-            host.reshape(host.shape[0], config.height, config.width, -1)[:len(g)]
-        )
+        outs.append(_expand_wire(
+            host.reshape(host.shape[0], config.height, config.width, -1)[:len(g)],
+            wire, full,
+        ))
     return outs[0] if len(outs) == 1 else np.concatenate(outs)

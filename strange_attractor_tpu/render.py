@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .config import BinStrategy, Config
+from .config import BinStrategy, Config, RenderKind
 from .models.attractors import as_xyz_step
 from .models.transforms import as_xyz_transform
 from .ops import binning
@@ -706,6 +706,38 @@ def _crop_window(bbox, h: int, w: int):
     return r0, r1, c0, c1
 
 
+def _wire_channels(config: Config, transparent: bool) -> tuple[int, int]:
+    """``(wire, full)`` channel counts for a deliverable fetch.
+
+    DEPTH tone maps every pixel to ``(g, g, g, 65535)`` (ops/colorize.py —
+    reference src/lib.rs:875-899 writes the same gray to R/G/B and a
+    constant opaque alpha), so only ONE channel needs to cross the
+    byte-bound tunnel (CLAUDE.md round 5: transport cost is bytes, dtype-
+    and content-blind); the host replicates the gray into the color
+    channels and fills alpha with the dtype max — exactly what the device
+    conversion produces for 65535 at either bit depth (the multiply-shift
+    is pinned for all 65536 inputs in tests/test_export.py). GAS opaque
+    already drops the constant alpha on device (wire 3); GAS transparent
+    has 4 live channels.
+    """
+    full = 4 if transparent else 3
+    wire = 1 if config.render == RenderKind.DEPTH else full
+    return wire, full
+
+
+def _expand_wire(arr: np.ndarray, wire: int, full: int) -> np.ndarray:
+    """Host-side inverse of the wire-channel reduction: broadcast the gray
+    channel into RGB and synthesize the constant alpha. Identity when the
+    wire already carries every channel."""
+    if wire == full:
+        return arr
+    out = np.empty((*arr.shape[:-1], full), arr.dtype)
+    out[..., :3] = arr[..., :1]
+    if full == 4:
+        out[..., 3] = np.iinfo(arr.dtype).max
+    return out
+
+
 def _rider_bits(config, st, stats, transparent: bool, eight_bit: bool):
     """Traced helper: the (4 + 2*channels) uint32 delivery rider.
 
@@ -749,12 +781,15 @@ def _rider_bits(config, st, stats, transparent: bool, eight_bit: bool):
         packed=None if st.packed is None else jnp.zeros((1, 1), jnp.uint32),
     )
     corner = RenderState(*(None if p is None else p[:1, :1] for p in st))
+    wire, _ = _wire_channels(config, transparent)
     pixels = []
     for one in (unlit, corner):
         img = convert_format_device(
             colorize_planes(config, *state_planes(one), stats=stats),
             transparent, eight_bit)
-        pixels.append(img.reshape(-1).astype(jnp.uint32))
+        # fill/corner ride in WIRE channels — the host expands them with
+        # the same _expand_wire rule it applies to the body
+        pixels.append(img.reshape(-1)[:wire].astype(jnp.uint32))
     bbox = jnp.stack([r_lo, r_hi, c_lo, c_hi]).astype(jnp.uint32)
     return jnp.concatenate([bbox] + pixels)
 
@@ -827,10 +862,12 @@ def colorize_convert_fetch(
         crop = os.environ.get("SAR_CROP_FETCH", "1") != "0"
     bands = max(1, int(bands))
     bands_full = _largest_divisor_at_most(h, bands)
+    wire, full = _wire_channels(config, transparent)
     if bands_full <= 1 and (not crop or bands <= 1):
-        return fetch_image(
-            convert_format_device(colorize(config, state), transparent, eight_bit)
-        )
+        img = convert_format_device(colorize(config, state), transparent, eight_bit)
+        if wire != full:
+            img = img[..., :wire]
+        return _expand_wire(fetch_image(img), wire, full)
 
     base_key = (
         config.colors.palette.fingerprint(),
@@ -870,6 +907,10 @@ def colorize_convert_fetch(
                     sliced = RenderState(*(sl(p) for p in st))
                     img = colorize_planes(config, *state_planes(sliced), stats=stats)
                     img = convert_format_device(img, transparent, eight_bit)
+                    if wire != full:
+                        # DEPTH wire reduction (_wire_channels): ship only
+                        # the gray channel over the byte-bound link
+                        img = img[..., :wire]
                     flat = img.reshape(-1)
                     per = 4 // flat.dtype.itemsize
                     if per > 1 and flat.shape[0] % per == 0:
@@ -890,7 +931,7 @@ def colorize_convert_fetch(
         _BANDED_CACHE[ckey] = fns
     stats_fn, get_band_fn = fns
 
-    channels = 4 if transparent else 3
+    channels = wire  # everything below runs in wire channels; returns expand
     dtype = np.uint8 if eight_bit else np.uint16
     rider_len = 4 + 2 * channels
 
@@ -968,18 +1009,22 @@ def colorize_convert_fetch(
             out, bbox, fill = deliver(window, cached_fill=cached["fill"])
             _CROP_CACHE[base_key] = {"bbox": bbox, "fill": fill}
             if out is not None:
-                return out
+                return _expand_wire(out, wire, full)
 
     out, bbox, fill = deliver(None)
     if crop:
         _CROP_CACHE[base_key] = {"bbox": bbox, "fill": fill}
-    return out
+    return _expand_wire(out, wire, full)
 
 
 def render_frame(config: Config, key=None, *, angle: Optional[float] = None) -> np.ndarray:
     """One-shot: fresh state -> render -> colorize -> host uint16 array."""
+    from .utils.export import fetch_image
+
     state = render(config, None, key, angle=angle)
-    return np.asarray(jax.device_get(colorize(config, state)))
+    # u32-packed fetch: narrow-dtype device_get pays a ~2.7x relayout on
+    # TPU's tiled layouts (utils/export.fetch_image; bit-exact)
+    return fetch_image(colorize(config, state))
 
 
 def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: int = 12) -> np.ndarray:
@@ -999,9 +1044,10 @@ def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: 
     if len(devices) <= 1:
         return render_frame(config, key)
     from .parallel.mesh import render_sharded
+    from .utils.export import fetch_image
 
     state = render_sharded(config, devices, seed_key(config, key))
-    return np.asarray(jax.device_get(colorize(config, state)))
+    return fetch_image(colorize(config, state))
 
 
 def _canvas_stepper(
@@ -1165,6 +1211,7 @@ def render_sequence_batched(
     lanes, chunk_steps, nchunks = plan_schedule(config)
     body = _canvas_body(config, strategy, lanes, chunk_steps, nchunks, vmapped=True)
     shape = (config.height, config.width)
+    wire, full = _wire_channels(config, transparent)
 
     def one(k, cos_v, sin_v):
         st = planes_to_state(body(k, cos_v, sin_v), strategy, shape)
@@ -1173,7 +1220,12 @@ def render_sequence_batched(
         # (8, 128) tiling to pad the 4-wide minor dim to 128 lanes — 32x
         # the frame bytes (a 60-frame 1080p batch tried to allocate 32 GB);
         # as (F, H*W*C) the minor dim tiles compactly. Host reshapes back.
-        return convert_format_device(img, transparent, eight_bit).reshape(-1)
+        img = convert_format_device(img, transparent, eight_bit)
+        if wire != full:
+            # DEPTH frames wire one gray channel (_wire_channels): 3x
+            # fewer bytes on the fetch-dominated sequence delivery
+            img = img[..., :wire]
+        return img.reshape(-1)
 
     # cache the compiled batch program like _KERNEL_CACHE/_SHARDED_CACHE:
     # per-call re-jit would re-trace (and on the tunneled platform re-pay
@@ -1217,7 +1269,8 @@ def render_sequence_batched(
             out.append(fetch_image(pending))
         pending = imgs
     out.append(fetch_image(pending))
-    return np.concatenate(out, axis=0).reshape(len(angles), *shape, -1)
+    frames = np.concatenate(out, axis=0).reshape(len(angles), *shape, -1)
+    return _expand_wire(frames, wire, full)
 
 
 def _canvas_body_shared(
@@ -1348,6 +1401,7 @@ def render_sequence_shared(
     lanes, chunk_steps, nchunks = plan_schedule(config)
     body = _canvas_body_shared(config, strategy, lanes, chunk_steps, nchunks)
     shape = (config.height, config.width)
+    wire, full = _wire_channels(config, transparent)
 
     def seq(k, cos_vec, sin_vec):
         planes = body(k, cos_vec, sin_vec)
@@ -1357,7 +1411,11 @@ def render_sequence_shared(
             img = colorize_planes(config, *state_planes(st))
             # flat (H*W*C,) on device: a (F, H, W, 4) u16 batch pads the
             # 4-wide minor dim to 128 lanes (32x HBM) — host reshapes back
-            return convert_format_device(img, transparent, eight_bit).reshape(-1)
+            img = convert_format_device(img, transparent, eight_bit)
+            if wire != full:
+                # DEPTH wire reduction (_wire_channels): 3x fewer bytes
+                img = img[..., :wire]
+            return img.reshape(-1)
 
         return jax.vmap(col)(*planes)
 
@@ -1393,7 +1451,8 @@ def render_sequence_shared(
             out.append(fetch_image(pending))
         pending = imgs
     out.append(fetch_image(pending))
-    return np.concatenate(out, axis=0).reshape(len(angles), *shape, -1)
+    frames = np.concatenate(out, axis=0).reshape(len(angles), *shape, -1)
+    return _expand_wire(frames, wire, full)
 
 
 def render_sequence(

@@ -142,6 +142,60 @@ def test_depth_render_and_depth_only_state():
         np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("transparent", [False, True])
+@pytest.mark.parametrize("eight_bit", [False, True])
+def test_depth_wire_reduction_is_bit_exact(transparent, eight_bit):
+    """DEPTH deliverables wire ONE gray channel (render._wire_channels):
+    the tone map writes (g, g, g, 65535) for every pixel (ops/colorize.py;
+    reference src/lib.rs:875-899), so only channel 0 crosses the byte-bound
+    link — 3x fewer bytes — and the host replicates the gray and
+    synthesizes the constant alpha. Learn + crop calls must stay
+    bit-identical to the full-channel unbanded reference."""
+    cfg = presets.poisson_saturne(
+        iterations=150_000, width=192, height=104, seed=3, silent=True,
+        render=RenderKind.DEPTH, bin_strategy=BinStrategy.DEPTH,
+    )
+    st = render(cfg, key=jax.random.PRNGKey(3))
+    ref = _plain(cfg, st, transparent, eight_bit)
+    assert ref.shape[-1] == (4 if transparent else 3)
+    for call in range(3):
+        got = colorize_convert_fetch(
+            cfg, st, transparent=transparent, eight_bit=eight_bit, crop=True
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"call {call}")
+    # the rider rode in wire channels: the learned fill is ONE value
+    entries = [
+        v for k, v in _CROP_CACHE.items()
+        if k[3] == RenderKind.DEPTH.value and k[6] == (cfg.height, cfg.width)
+        and k[7] is transparent and k[8] is eight_bit
+    ]
+    assert entries and len(entries[-1]["fill"]) == 1
+
+
+def test_wire_channels_and_expand():
+    from strange_attractor_tpu.render import _expand_wire, _wire_channels
+
+    gas = presets.poisson_saturne(silent=True)
+    assert _wire_channels(gas, False) == (3, 3)
+    assert _wire_channels(gas, True) == (4, 4)
+    depth = presets.poisson_saturne(
+        silent=True, render=RenderKind.DEPTH, bin_strategy=BinStrategy.DEPTH
+    )
+    assert _wire_channels(depth, False) == (1, 3)
+    assert _wire_channels(depth, True) == (1, 4)
+    g = np.arange(6, dtype=np.uint16).reshape(2, 3, 1)
+    out = _expand_wire(g, 1, 4)
+    assert out.shape == (2, 3, 4) and out.dtype == np.uint16
+    for c in range(3):
+        np.testing.assert_array_equal(out[..., c], g[..., 0])
+    assert (out[..., 3] == 65535).all()
+    g8 = g.astype(np.uint8)
+    out8 = _expand_wire(g8, 1, 4)
+    assert out8.dtype == np.uint8 and (out8[..., 3] == 255).all()
+    assert _expand_wire(g, 1, 3).shape == (2, 3, 3)
+    assert _expand_wire(g, 3, 3) is g  # identity when every channel is live
+
+
 def test_empty_state_delivers_full_path(small_render):
     cfg, _ = small_render
     st = RenderState.blank((cfg.height, cfg.width), BinStrategy.PACKED)

@@ -149,6 +149,27 @@ def test_render_sequence_sharded(cpu_devices):
     assert not np.array_equal(frames[0], frames[1])
 
 
+def test_render_sequence_sharded_depth_wire(cpu_devices):
+    """DEPTH frames on the mesh sequence path wire one gray channel
+    (render._wire_channels); the delivered frames must equal the host
+    conversion of the raw u16 RGBA mesh frames."""
+    from strange_attractor_tpu.utils.export import convert_format
+
+    cfg = presets.poisson_saturne(
+        width=48, height=27, iterations=30_000, lanes=128, chunk_steps=32,
+        seed=6, render=RenderKind.DEPTH, bin_strategy=BinStrategy.DEPTH_KERNEL,
+    )
+    angles = [0.0, 90.0, 180.0]
+    raw = render_sequence_sharded(cfg, angles, cpu_devices)
+    assert raw.shape == (3, 27, 48, 4) and raw.dtype == np.uint16
+    for transparent, eight_bit in ((False, True), (True, False)):
+        conv = render_sequence_sharded(
+            cfg, angles, cpu_devices, transparent=transparent, eight_bit=eight_bit)
+        for f_raw, f_conv in zip(raw, conv):
+            np.testing.assert_array_equal(
+                f_conv, convert_format(f_raw, transparent, eight_bit))
+
+
 def test_render_sequence_sharded_fresh_seeds_per_frame(cpu_devices):
     """Frames sharing a device row must still render distinct trajectories
     (per-local-frame key fold — round-1 advisor finding): identical angles

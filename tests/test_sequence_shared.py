@@ -89,6 +89,33 @@ def test_shared_device_conversion_matches_host():
         np.testing.assert_array_equal(f_conv, convert_format(f_raw, False, True))
 
 
+def test_depth_sequence_wire_matches_host_conversion():
+    """DEPTH sequence frames wire one gray channel per pixel over the link
+    (render._wire_channels — the tone map's other channels are replicas /
+    a constant alpha); every delivered frame must still equal the host
+    conversion of the raw u16 RGBA frame, on both sequence paths."""
+    from strange_attractor_tpu.config import RenderKind
+    from strange_attractor_tpu.utils.export import convert_format
+
+    cfg = _cfg(iterations=20_000, bin_strategy=BinStrategy.DEPTH,
+               render=RenderKind.DEPTH)
+    angles = [0.0, 120.0]
+    raw_shared = render_sequence_shared(cfg, angles)
+    raw_batched = render_sequence_batched(cfg, angles)
+    assert raw_shared.shape == (2, 27, 48, 4) and raw_shared.dtype == np.uint16
+    for transparent, eight_bit in ((False, True), (True, True), (False, False)):
+        conv = render_sequence_shared(
+            cfg, angles, transparent=transparent, eight_bit=eight_bit)
+        for f_raw, f_conv in zip(raw_shared, conv):
+            np.testing.assert_array_equal(
+                f_conv, convert_format(f_raw, transparent, eight_bit))
+        convb = render_sequence_batched(
+            cfg, angles, transparent=transparent, eight_bit=eight_bit)
+        for f_raw, f_conv in zip(raw_batched, convb):
+            np.testing.assert_array_equal(
+                f_conv, convert_format(f_raw, transparent, eight_bit))
+
+
 def test_shared_degenerate_inputs():
     cfg = _cfg(iterations=0)
     blank = render_sequence_shared(cfg, [0.0, 90.0])
