@@ -42,5 +42,7 @@ run 25 bench_exact16      python tools/bench_exact16.py 1e9 earliest
 run 45 bench_strategies   python tools/bench_strategies.py
 # 7. sequence rates on the real vmapped program
 run 30 bench_sequence     python tools/bench_sequence.py
+# 8. DEPTH wire-channel delivery certificate + warm delivery times
+run 45 probe_depth_wire   python tools/probe_depth_wire.py
 
 echo "=== queue done $(date -u +%H:%M:%S); logs in $LOGDIR"
