@@ -382,7 +382,9 @@ def render_sequence_sharded(
     folds into the key), so cross-row coherence is that of distinct seeds,
     like the single-device path's per-batch orbits.
     """
-    from ..render import _expand_wire, _wire_channels, plan_schedule, seed_key
+    from ..render import (
+        _expand_wire, _slice_wire, _wire_channels, plan_schedule, seed_key,
+    )
     from ..ops.colorize import colorize_planes, state_planes
     from ..utils.export import convert_format_device, fetch_image
 
@@ -463,10 +465,8 @@ def render_sequence_sharded(
         # under TPU tiling (32x the bytes — see
         # render_sequence_batched); host reshapes back
         img = convert_format_device(img, transparent, eight_bit)
-        if wire != full:
-            # DEPTH wire reduction (render._wire_channels): 3x fewer bytes
-            img = img[..., :wire]
-        return img.reshape(-1)
+        # DEPTH wire reduction (render._wire_channels): 3x fewer bytes
+        return _slice_wire(img, wire, full).reshape(-1)
 
     if fn is None and orbit == "shared":
         from ..render import _canvas_body_shared

@@ -725,6 +725,13 @@ def _wire_channels(config: Config, transparent: bool) -> tuple[int, int]:
     return wire, full
 
 
+def _slice_wire(img, wire: int, full: int):
+    """Device-side half of the wire-channel reduction: keep only the live
+    channels of a converted deliverable (channel 0 carries the DEPTH gray).
+    Identity when every channel is live."""
+    return img if wire == full else img[..., :wire]
+
+
 def _expand_wire(arr: np.ndarray, wire: int, full: int) -> np.ndarray:
     """Host-side inverse of the wire-channel reduction: broadcast the gray
     channel into RGB and synthesize the constant alpha. Identity when the
@@ -781,7 +788,7 @@ def _rider_bits(config, st, stats, transparent: bool, eight_bit: bool):
         packed=None if st.packed is None else jnp.zeros((1, 1), jnp.uint32),
     )
     corner = RenderState(*(None if p is None else p[:1, :1] for p in st))
-    wire, _ = _wire_channels(config, transparent)
+    wire, full = _wire_channels(config, transparent)
     pixels = []
     for one in (unlit, corner):
         img = convert_format_device(
@@ -789,7 +796,7 @@ def _rider_bits(config, st, stats, transparent: bool, eight_bit: bool):
             transparent, eight_bit)
         # fill/corner ride in WIRE channels — the host expands them with
         # the same _expand_wire rule it applies to the body
-        pixels.append(img.reshape(-1)[:wire].astype(jnp.uint32))
+        pixels.append(_slice_wire(img, wire, full).reshape(-1).astype(jnp.uint32))
     bbox = jnp.stack([r_lo, r_hi, c_lo, c_hi]).astype(jnp.uint32)
     return jnp.concatenate([bbox] + pixels)
 
@@ -865,8 +872,7 @@ def colorize_convert_fetch(
     wire, full = _wire_channels(config, transparent)
     if bands_full <= 1 and (not crop or bands <= 1):
         img = convert_format_device(colorize(config, state), transparent, eight_bit)
-        if wire != full:
-            img = img[..., :wire]
+        img = _slice_wire(img, wire, full)
         return _expand_wire(fetch_image(img), wire, full)
 
     base_key = (
@@ -907,10 +913,9 @@ def colorize_convert_fetch(
                     sliced = RenderState(*(sl(p) for p in st))
                     img = colorize_planes(config, *state_planes(sliced), stats=stats)
                     img = convert_format_device(img, transparent, eight_bit)
-                    if wire != full:
-                        # DEPTH wire reduction (_wire_channels): ship only
-                        # the gray channel over the byte-bound link
-                        img = img[..., :wire]
+                    # DEPTH wire reduction (_wire_channels): ship only the
+                    # gray channel over the byte-bound link
+                    img = _slice_wire(img, wire, full)
                     flat = img.reshape(-1)
                     per = 4 // flat.dtype.itemsize
                     if per > 1 and flat.shape[0] % per == 0:
@@ -1018,13 +1023,14 @@ def colorize_convert_fetch(
 
 
 def render_frame(config: Config, key=None, *, angle: Optional[float] = None) -> np.ndarray:
-    """One-shot: fresh state -> render -> colorize -> host uint16 array."""
-    from .utils.export import fetch_image
+    """One-shot: fresh state -> render -> colorize -> host uint16 array.
 
+    Delivery goes through :func:`colorize_convert_fetch` with the identity
+    conversion (transparent u16), so the one-shot API gets the same banded,
+    lit-bbox-cropped, wire-reduced (DEPTH) fetch the CLI ships through —
+    bit-identical to a plain ``colorize`` + ``device_get``."""
     state = render(config, None, key, angle=angle)
-    # u32-packed fetch: narrow-dtype device_get pays a ~2.7x relayout on
-    # TPU's tiled layouts (utils/export.fetch_image; bit-exact)
-    return fetch_image(colorize(config, state))
+    return colorize_convert_fetch(config, state, transparent=True, eight_bit=False)
 
 
 def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: int = 12) -> np.ndarray:
@@ -1044,10 +1050,11 @@ def render_parallel(config: Config, key=None, *, devices=None, jobs_per_thread: 
     if len(devices) <= 1:
         return render_frame(config, key)
     from .parallel.mesh import render_sharded
-    from .utils.export import fetch_image
 
     state = render_sharded(config, devices, seed_key(config, key))
-    return fetch_image(colorize(config, state))
+    # banded + cropped + wire-reduced delivery, identity conversion (the
+    # banded path accepts sharded states — tests/test_parallel.py)
+    return colorize_convert_fetch(config, state, transparent=True, eight_bit=False)
 
 
 def _canvas_stepper(
@@ -1221,11 +1228,9 @@ def render_sequence_batched(
         # the frame bytes (a 60-frame 1080p batch tried to allocate 32 GB);
         # as (F, H*W*C) the minor dim tiles compactly. Host reshapes back.
         img = convert_format_device(img, transparent, eight_bit)
-        if wire != full:
-            # DEPTH frames wire one gray channel (_wire_channels): 3x
-            # fewer bytes on the fetch-dominated sequence delivery
-            img = img[..., :wire]
-        return img.reshape(-1)
+        # DEPTH frames wire one gray channel (_wire_channels): 3x fewer
+        # bytes on the fetch-dominated sequence delivery
+        return _slice_wire(img, wire, full).reshape(-1)
 
     # cache the compiled batch program like _KERNEL_CACHE/_SHARDED_CACHE:
     # per-call re-jit would re-trace (and on the tunneled platform re-pay
@@ -1412,10 +1417,8 @@ def render_sequence_shared(
             # flat (H*W*C,) on device: a (F, H, W, 4) u16 batch pads the
             # 4-wide minor dim to 128 lanes (32x HBM) — host reshapes back
             img = convert_format_device(img, transparent, eight_bit)
-            if wire != full:
-                # DEPTH wire reduction (_wire_channels): 3x fewer bytes
-                img = img[..., :wire]
-            return img.reshape(-1)
+            # DEPTH wire reduction (_wire_channels): 3x fewer bytes
+            return _slice_wire(img, wire, full).reshape(-1)
 
         return jax.vmap(col)(*planes)
 

@@ -114,6 +114,19 @@ def test_sequence_naming(tmp_path):
     assert names == ["anim0.png", "anim1.png", "anim2.png"]
 
 
+def test_sequence_depth_8bit(tmp_path):
+    """A depth sequence through the CLI (wire-reduced delivery path) writes
+    valid 8-bit frames; the -8 deliverable conversion applies per frame."""
+    out = tmp_path / "anim"
+    assert main(FAST + ["-o", str(out), "--depth", "-8",
+                        "sequence", "-s", "0", "-e", "2", "-d", "1",
+                        "--frames-per-batch", "2"]) == 0
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["anim0.png", "anim1.png"]
+    data = (tmp_path / "anim0.png").read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and data[24] == 8  # bit depth 8
+
+
 def test_single_frame_plain_name(tmp_path):
     out = tmp_path / "one"
     assert main(FAST + ["-o", str(out), "-a", "45"]) == 0
